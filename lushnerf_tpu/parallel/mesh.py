@@ -1,0 +1,52 @@
+"""Mesh construction and sharding rules.
+
+Parallelism design (SURVEY.md §2.4): the reference's only parallelism is
+single-process nn.DataParallel over GPUs (run_lushnerf.py:348) — scatter
+rays, replicate the module, gather.  The TPU-native equivalent is SPMD over
+a 1-D `('data',)` mesh:
+
+  * the ray batch (and the sub-ray bundles folded into the ray axis — the
+    sequence-parallel analog for this workload) is sharded over 'data'
+  * parameters are replicated (the MLPs are 256-wide — tensor parallelism
+    would waste ICI bandwidth on 128-lane matmuls)
+  * gradient all-reduce (psum over 'data') is inserted by GSPMD and
+    overlapped with the backward pass by XLA's scheduler
+  * multi-host: the same program runs under jax.distributed.initialize;
+    'data' spans all chips, collectives ride ICI within a slice and DCN
+    across slices.
+
+No pipeline/expert parallelism: the model has no layer pipeline or experts
+(reference has none either).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Create a device mesh.  Default: all devices along a 1-D 'data' axis."""
+    devices = np.asarray(jax.devices())
+    if shape is None or len(shape) == 0:
+        shape = (devices.size,)
+    devices = devices[: int(np.prod(shape))].reshape(tuple(shape))
+    return Mesh(devices, tuple(axis_names[: devices.ndim]))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (ray) axis of every leaf over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch pytree with the leading axis sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,335 @@
+"""Trainer: staged schedule, sharded jitted steps, eval, checkpointing.
+
+Replaces the reference's train() (run_lushnerf.py:232-791) with a
+TPU-native loop:
+  * one pre-compiled train step per schedule stage ('naive' / 'kernel' /
+    'allkernel') — the reference's data-dependent Python branches become
+    static graphs
+  * the ray batch is sharded over the ('data',) mesh; params replicated;
+    GSPMD inserts the gradient psum (overlapped with backward by XLA)
+  * Adam + exponential LR decay lrate*0.1^(step/(lrate_decay*1000))
+    (run_lushnerf.py:681-685; both reference param groups share one LR —
+    quirk kept, single schedule)
+  * checkpoint every i_weights, eval render + metrics every i_testset,
+    scalar logs every i_print/i_tensorboard (JSONL instead of TB files)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lushnerf_tpu.config import Config
+from lushnerf_tpu.data.freq_mask import get_masks_for_images
+from lushnerf_tpu.data.llff import load_llff_data
+from lushnerf_tpu.data.rays import RayDataset, build_ray_dataset
+from lushnerf_tpu.models.lushnerf import (
+    LushConfig,
+    forward_kernel,
+    forward_naive,
+    init_lush_params,
+    render_image,
+)
+from lushnerf_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from lushnerf_tpu.train import checkpoint as ckpt_lib
+from lushnerf_tpu.train.losses import mse2psnr, photometric_loss
+from lushnerf_tpu.train.schedule import stage_for_iter
+from lushnerf_tpu.utils.metrics import compute_img_metric
+from lushnerf_tpu.utils import lpips as lpips_lib
+
+
+class Trainer:
+    def __init__(self, cfg: Config, data: Optional[Dict[str, Any]] = None):
+        """cfg: full config.  data: optional injected dataset (tests /
+        synthetic scenes): dict with images [N,H,W,3] float32, poses
+        [N,3,4], bds [N,2], render_poses [P,3,4], hwf (H, W, focal)."""
+        self.cfg = cfg
+        self._injected = data
+        self.mesh = make_mesh(
+            [int(s) for s in cfg.mesh_shape.split(",") if s] or None,
+            tuple(cfg.mesh_axes.split(",")),
+        )
+        self._step_fns: Dict[str, Any] = {}
+        self._setup_done = False
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def setup(self):
+        cfg = self.cfg
+        if self._injected is not None:
+            d = self._injected
+            self.images = np.asarray(d["images"], np.float32)
+            self.poses = np.asarray(d["poses"], np.float32)
+            self.bds = np.asarray(d["bds"], np.float32)
+            self.render_poses = np.asarray(d["render_poses"], np.float32)
+            H, W, focal = d["hwf"]
+        else:
+            data = load_llff_data(
+                cfg.datadir,
+                cfg.factor,
+                recenter=True,
+                bd_factor=0.75,
+                spherify=cfg.spherify,
+                path_epi=cfg.render_epi,
+                gamma=cfg.scaleup_gamma,
+                clahe=cfg.scaleup_clahe,
+                render_focuspoint_scale=cfg.render_focuspoint_scale,
+                render_radius_scale=cfg.render_radius_scale,
+            )
+            self.images = data.images
+            self.poses = data.poses[:, :3, :4]
+            self.bds = data.bds
+            self.render_poses = data.render_poses[:, :3, :4]
+            hwf = data.poses[0, :3, -1]
+            H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+
+        self.H, self.W, self.focal = int(H), int(W), float(focal)
+        self.K = np.array(
+            [[self.focal, 0, 0.5 * self.W], [0, self.focal, 0.5 * self.H], [0, 0, 1]],
+            np.float32,
+        )
+
+        n = self.images.shape[0]
+        self.i_test = np.arange(n)[:: cfg.llffhold]
+        self.i_train = np.array([i for i in range(n) if i not in set(self.i_test)])
+
+        if cfg.no_ndc:
+            self.near = float(self.bds.min() * 0.9)
+            self.far = float(self.bds.max() * 1.0)
+        else:
+            self.near, self.far = 0.0, 1.0
+
+        cfg.num_images = n
+        self.lush_cfg: LushConfig = cfg.lush_config(self.near, self.far)
+
+        # frequency masks over uint8 images (run_lushnerf.py:282-283)
+        images_u8 = (self.images * 255).astype(np.uint8)
+        self.frequency_masks = get_masks_for_images(images_u8, radius=cfg.fq_threshold)
+
+        self.dataset: RayDataset = build_ray_dataset(
+            self.images[self.i_train],
+            self.poses[self.i_train],
+            self.K,
+            self.frequency_masks[self.i_train],
+            np.arange(n)[self.i_train],
+        )
+        self.np_rng = np.random.default_rng(cfg.seed)
+        self.dataset.shuffle(self.np_rng)
+
+        # params + optimizer
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = init_lush_params(init_key, self.lush_cfg)
+        schedule = lambda count: cfg.lrate * (0.1 ** (count / (cfg.lrate_decay * 1000.0)))
+        self.optimizer = optax.adam(learning_rate=schedule)
+        self.opt_state = self.optimizer.init(self.params)
+        self.start_step = 0
+
+        # resume (run_lushnerf.py:374-389)
+        self.exp_dir = Path(cfg.basedir) / cfg.expname
+        ckpt_path = cfg.ft_path or ckpt_lib.latest_checkpoint(self.exp_dir)
+        if ckpt_path and not cfg.no_reload:
+            self.start_step, self.params, self.opt_state = ckpt_lib.load_checkpoint(
+                ckpt_path, self.params, self.opt_state
+            )
+            print(f"Resumed from {ckpt_path} at step {self.start_step}")
+
+        # replicate state over the mesh
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.metrics_file = self.exp_dir / "test_metrics.txt"
+        self.log_file = self.exp_dir / "scalars.jsonl"
+        (self.exp_dir / "args.txt").write_text(
+            "\n".join(f"{k} = {getattr(cfg, k)}" for k in sorted(cfg.field_names()))
+        )
+        self._setup_done = True
+
+    # ------------------------------------------------------------------
+    # step functions
+    # ------------------------------------------------------------------
+
+    def _loss_fn(self, params, batch, key, stage: str):
+        cfg = self.lush_cfg
+        if stage == "naive":
+            out = forward_naive(params, cfg, self.H, self.W, self.focal, batch["rays"], key)
+        else:
+            fq = batch["fq_mask"] if stage == "kernel" else None
+            out = forward_kernel(
+                params, cfg, self.H, self.W, self.focal,
+                batch["rays"], batch["images_idx"][:, 0], key, fq_mask=fq,
+            )
+        loss, mse = photometric_loss(out["rgb_blur"], out["rgb0_blur"], batch["rgbs"])
+        return loss, mse
+
+    def step_fn(self, stage: str):
+        if stage in self._step_fns:
+            return self._step_fns[stage]
+
+        def step(params, opt_state, batch, key):
+            (loss, mse), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, batch, key, stage)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, mse
+
+        rep = replicated_sharding(self.mesh)
+        shard = batch_sharding(self.mesh)
+        fn = jax.jit(
+            step,
+            in_shardings=(rep, rep, shard, rep),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        self._step_fns[stage] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def train(self, num_iters: Optional[int] = None):
+        if not self._setup_done:
+            self.setup()
+        cfg = self.cfg
+        n_iters = (num_iters if num_iters is not None else cfg.N_iters) + 1
+        t0 = time.time()
+        loss_v = psnr_v = float("nan")
+        for i in range(self.start_step + 1, n_iters):
+            batch_np = self.dataset.next_batch(cfg.N_rand, self.np_rng)
+            batch = {
+                "rays": jnp.asarray(batch_np["rays"]),
+                "rgbs": jnp.asarray(batch_np["rgbs"]),
+                "images_idx": jnp.asarray(batch_np["images_idx"]),
+                "fq_mask": jnp.asarray(batch_np["fq_mask"].astype(bool)),
+            }
+            stage = stage_for_iter(
+                i, cfg.kernel_start_iter, cfg.allkernel_start_iter, cfg.blur_model_type
+            )
+            self.key, step_key = jax.random.split(self.key)
+            fn = self.step_fn(stage)
+            self.params, self.opt_state, loss, mse = fn(
+                self.params, self.opt_state, batch, step_key
+            )
+
+            if i % cfg.i_weights == 0:
+                ckpt_lib.save_checkpoint(self.exp_dir, i, self.params, self.opt_state)
+
+            if i % cfg.i_testset == 0 and i > 0:
+                self.eval_testset(i)
+
+            if i % cfg.i_print == 0:
+                loss_v = float(loss)
+                psnr_v = float(mse2psnr(mse))
+                dt = time.time() - t0
+                print(f"[TRAIN] Iter: {i} Loss: {loss_v:.5f} PSNR: {psnr_v:.3f} "
+                      f"stage: {stage} TIME: {dt:.1f}s")
+                with open(self.log_file, "a") as f:
+                    f.write(json.dumps({"step": i, "loss": loss_v, "psnr": psnr_v,
+                                        "stage": stage, "wall_s": dt}) + "\n")
+        return dict(loss=loss_v, psnr=psnr_v)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def render_pose(self, c2w):
+        # One cached jitted image-render (re-tracing per pose would pay the
+        # full compile cost each call); pose is a traced argument.
+        if not hasattr(self, "_render_image_jit"):
+            self._render_image_jit = jax.jit(
+                partial(
+                    render_image,
+                    cfg=self.lush_cfg,
+                    H=self.H,
+                    W=self.W,
+                    ray_chunk=self.cfg.ray_chunk_eval,
+                )
+            )
+        return self._render_image_jit(self.params, K=jnp.asarray(self.K), c2w=jnp.asarray(c2w))
+
+    def eval_testset(self, i: int, save: bool = True):
+        """Render all poses, save rgb/noise/blur triplets, compute metrics
+        on the test split (run_lushnerf.py:696-743; SSIM computed here
+        rather than the reference's hardcoded 0)."""
+        import imageio.v2 as imageio
+
+        out_dir = self.exp_dir / f"testset_{i:06d}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rgbs = []
+        for vi, pose in enumerate(self.poses):
+            rgb, noise_img, _ = self.render_pose(pose)
+            rgb = np.asarray(rgb)
+            noise = np.asarray(noise_img)
+            rgbs.append(rgb)
+            if save:
+                to8 = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+                imageio.imwrite(out_dir / f"{vi:03d}.png", to8(rgb))
+                imageio.imwrite(out_dir / f"{vi:03d}_noise.png", to8(noise))
+                imageio.imwrite(out_dir / f"{vi:03d}_blur.png", to8(rgb + noise))
+        rgbs = np.stack(rgbs)
+
+        test_rgbs = rgbs[self.i_test]
+        gt = self.images[self.i_test]
+        test_mse = compute_img_metric(test_rgbs, gt, "mse")
+        test_psnr = compute_img_metric(test_rgbs, gt, "psnr")
+        test_ssim = compute_img_metric(test_rgbs, gt, "ssim")
+        if lpips_lib.available():
+            test_lpips = compute_img_metric(test_rgbs, gt, "lpips")
+        else:
+            test_lpips = float("nan")
+        line = (f"iter{i}: MSE:{test_mse:.8f} PSNR:{test_psnr:.8f} "
+                f"SSIM:{test_ssim:.8f} LPIPS:{test_lpips:.8f}")
+        print("**[Evaluation]** " + line)
+        with open(self.metrics_file, "a") as f:
+            f.write(line + "\n")
+        return dict(mse=test_mse, psnr=test_psnr, ssim=test_ssim, lpips=test_lpips)
+
+    def render_only(self, render_test: bool = False):
+        """Render the spiral path (or the test poses) from the current
+        params (run_lushnerf.py:482-533)."""
+        import imageio.v2 as imageio
+
+        poses = self.poses if render_test else self.render_poses
+        out_dir = self.exp_dir / (
+            f"renderonly_{'test' if render_test else 'path'}_{self.start_step:06d}"
+        )
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rgbs, depths = [], []
+        for vi, pose in enumerate(poses):
+            rgb, _, depth = self.render_pose(pose)
+            rgbs.append(np.asarray(rgb))
+            depths.append(np.asarray(depth))
+        rgbs = np.stack(rgbs)
+        depths = np.stack(depths)
+        to8 = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+        if render_test:
+            for vi, rgb in enumerate(rgbs):
+                imageio.imwrite(out_dir / f"{vi:03d}.png", to8(rgb))
+            gt = self.images
+            res = {
+                "psnr": compute_img_metric(rgbs[self.i_test], gt[self.i_test], "psnr"),
+                "ssim": compute_img_metric(rgbs[self.i_test], gt[self.i_test], "ssim"),
+            }
+            with open(self.metrics_file, "a") as f:
+                f.write(f"**[Evaluation]** : PSNR:{res['psnr']:.8f} SSIM:{res['ssim']:.8f}\n")
+            return res
+        try:
+            imageio.mimwrite(out_dir / "video.mp4", to8(rgbs), fps=30, quality=9)
+        except Exception:
+            for vi, rgb in enumerate(rgbs):
+                imageio.imwrite(out_dir / f"path_{vi:03d}.png", to8(rgb))
+        return {"frames": len(rgbs)}

