@@ -135,6 +135,7 @@ class Config:
     point_chunk: int = 65536  # remat chunk for MLP point eval (0 = off)
     ray_chunk_eval: int = 4096
     mlp_backend: str = "xla"  # 'xla' | 'pallas'
+    mlp_compute_dtype: str = "float32"  # 'bfloat16' for full-rate MXU
     param_dtype: str = "float32"
     seed: int = 0
 
@@ -252,6 +253,7 @@ class Config:
             multires_views=self.multires_views,
             point_chunk=self.point_chunk,
             mlp_backend=self.mlp_backend,
+            mlp_compute_dtype=self.mlp_compute_dtype,
         )
 
     def rbk_config(self) -> RBKConfig:

@@ -1,0 +1,119 @@
+"""Matcher interface + correspondence tables for the CTE loss.
+
+Reference behavior (run_lushnerf.py:291-292, 745-774): every 20k iters the
+frozen DKMv3 matcher is run over every ordered pair of *rendered* training
+views at 640x1120; per pair it stores, for every pixel column of the first
+W columns, the matched keypoints of both views (`Align_Matrix[k, v, :, :4]
+= [x0, y0, x1, y1]`) and a certainty (`Align_Mask`, bool-degenerate quirk
+documented in SURVEY.md).  The full f32 tensor is ~9.7 GB GPU-resident.
+
+TPU-native design: tables live HOST-side as numpy (the per-iteration
+consistency pass samples only 32 columns, run_lushnerf.py:963); each step
+uploads just the [V, n_pix, 4] gathered slice.  The matcher itself is
+pluggable:
+
+  * `PrecomputedMatcher` — tables from an .npz (offline matching; valid
+    because the matcher is frozen, SURVEY.md §2.2 plan)
+  * `lushnerf_tpu.matcher.dkm.DKMMatcher` — the JAX DKMv3 port
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MatchTables:
+    """Dense correspondences between all ordered train-view pairs.
+
+    kpts: [V, V, P, 4] float32 — (x0, y0, x1, y1) per column, pixel coords.
+    certainty: [V, V, P] float32.
+    The reference's P is H*W of the match resolution; P here is whatever
+    the matcher produced (columns are sampled uniformly at train time
+    either way).
+    """
+
+    kpts: np.ndarray
+    certainty: np.ndarray
+
+    @property
+    def num_views(self) -> int:
+        return self.kpts.shape[0]
+
+    @property
+    def num_columns(self) -> int:
+        return self.kpts.shape[2]
+
+    def sample_anchor(self, rng: np.random.Generator, n_pix: int):
+        """Pick a random anchor view + n_pix random columns; return the
+        per-view matched pixel coords and certainties
+        (Render_Aligned_Pixel, models/lushnerf.py:959-967)."""
+        anchor = int(rng.integers(0, self.num_views))
+        cols = rng.integers(0, self.num_columns, size=n_pix)
+        kp = self.kpts[anchor][:, cols]  # [V, n_pix, 4]
+        cert = self.certainty[anchor][:, cols]  # [V, n_pix]
+        # pixel coords in each target view are the second keypoint pair
+        return anchor, kp[..., 2:4], cert
+
+    def save(self, path):
+        np.savez_compressed(path, kpts=self.kpts, certainty=self.certainty)
+
+    @classmethod
+    def load(cls, path) -> "MatchTables":
+        z = np.load(path)
+        return cls(kpts=z["kpts"].astype(np.float32), certainty=z["certainty"].astype(np.float32))
+
+    @classmethod
+    def zeros(cls, num_views: int, num_columns: int) -> "MatchTables":
+        """Empty tables (the reference starts from zeros and fills at the
+        first rematch; zeros give zero certainty => zero loss)."""
+        return cls(
+            kpts=np.zeros((num_views, num_views, num_columns, 4), np.float32),
+            certainty=np.zeros((num_views, num_views, num_columns), np.float32),
+        )
+
+
+class Matcher(Protocol):
+    def match(self, img0: np.ndarray, img1: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """img: [H, W, 3] float32 in [0,1].  Returns (kpts0 [P,2],
+        kpts1 [P,2], certainty [P]) in pixel coordinates."""
+        ...
+
+
+@dataclasses.dataclass
+class PrecomputedMatcher:
+    """Serves matches from precomputed tables (frozen-matcher semantics)."""
+
+    tables: MatchTables
+    _k: int = 0
+    _v: int = 0
+
+    def match(self, img0, img1):
+        raise NotImplementedError(
+            "PrecomputedMatcher serves whole tables; use .tables directly"
+        )
+
+
+def build_match_tables(matcher: Matcher, images: np.ndarray) -> MatchTables:
+    """Run the matcher over every ordered view pair (the reference's
+    rematch pass, run_lushnerf.py:747-774)."""
+    V = images.shape[0]
+    first = None
+    kpts_all, cert_all = [], []
+    for k in range(V):
+        row_k, row_c = [], []
+        for v in range(V):
+            k0, k1, c = matcher.match(images[k], images[v])
+            if first is None:
+                first = len(c)
+            row_k.append(np.concatenate([k0, k1], -1)[:first])
+            row_c.append(c[:first])
+        kpts_all.append(np.stack(row_k))
+        cert_all.append(np.stack(row_c))
+    return MatchTables(
+        kpts=np.stack(kpts_all).astype(np.float32),
+        certainty=np.stack(cert_all).astype(np.float32),
+    )

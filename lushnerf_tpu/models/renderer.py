@@ -68,6 +68,10 @@ class RenderConfig:
     noise_sample_idx: int = 16
     point_chunk: int = 0  # 0 = single call; else remat-chunked MLP eval
     mlp_backend: str = "xla"  # 'xla' | 'pallas'
+    # matmul input precision inside the fused kernel ('float32' |
+    # 'bfloat16'); accumulation is always f32.  bf16 runs the MXU at full
+    # rate; f32 needs multiple passes.
+    mlp_compute_dtype: str = "float32"
 
     @property
     def pe_x(self) -> PositionalEncoding:
@@ -127,7 +131,10 @@ def eval_points(
     if cfg.mlp_backend == "pallas":
         from lushnerf_tpu.ops.fused import nerf_mlp as fused
 
-        return fused.eval_points_fused(params, mlp_cfg, cfg, pts, viewdirs)
+        if fused.supports(mlp_cfg, cfg):
+            return fused.eval_points_fused(params, mlp_cfg, cfg, pts, viewdirs)
+        # architectures outside the kernel family (e.g. the small noise
+        # MLP) fall back to the XLA path below
 
     R, S = pts.shape[0], pts.shape[1]
     x = pts.reshape(R * S, 3)

@@ -38,10 +38,12 @@ from lushnerf_tpu.models.lushnerf import (
     init_lush_params,
     render_image,
 )
+from lushnerf_tpu.matcher.api import MatchTables, build_match_tables
 from lushnerf_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from lushnerf_tpu.train import checkpoint as ckpt_lib
-from lushnerf_tpu.train.losses import mse2psnr, photometric_loss
-from lushnerf_tpu.train.schedule import stage_for_iter
+from lushnerf_tpu.train.consistency import render_aligned_pixels
+from lushnerf_tpu.train.losses import CONSIST_WEIGHT, consistency_loss, mse2psnr, photometric_loss
+from lushnerf_tpu.train.schedule import consist_active, consist_in_loss, stage_for_iter
 from lushnerf_tpu.utils.metrics import compute_img_metric
 from lushnerf_tpu.utils import lpips as lpips_lib
 
@@ -126,10 +128,16 @@ class Trainer:
         self.np_rng = np.random.default_rng(cfg.seed)
         self.dataset.shuffle(self.np_rng)
 
-        # params + optimizer
+        # params + optimizer.  Init on the host CPU backend: dispatching
+        # the many small init ops to the remote TPU costs ~seconds each in
+        # round-trips; one device_put of the finished pytree is cheap.
+        from lushnerf_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key = jax.random.split(key)
-        self.params = init_lush_params(init_key, self.lush_cfg)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self.params = init_lush_params(init_key, self.lush_cfg)
         schedule = lambda count: cfg.lrate * (0.1 ** (count / (cfg.lrate_decay * 1000.0)))
         self.optimizer = optax.adam(learning_rate=schedule)
         self.opt_state = self.optimizer.init(self.params)
@@ -148,6 +156,19 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         self.params = jax.device_put(self.params, rep)
         self.opt_state = jax.device_put(self.opt_state, rep)
+
+        # CTE match tables (host-resident; see train/consistency.py).
+        # Zeros => zero certainty => zero consist loss until a rematch or
+        # precomputed tables arrive (reference starts from zeros too).
+        if cfg.matcher == "precomputed" and cfg.match_table_path:
+            self.match_tables = MatchTables.load(cfg.match_table_path)
+        else:
+            self.match_tables = MatchTables.zeros(len(self.i_train), 1024)
+        self._matcher = None
+        if cfg.matcher == "dkm":
+            from lushnerf_tpu.matcher.dkm import DKMMatcher
+
+            self._matcher = DKMMatcher.from_pretrained()
 
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         self.metrics_file = self.exp_dir / "test_metrics.txt"
@@ -174,27 +195,58 @@ class Trainer:
         loss, mse = photometric_loss(out["rgb_blur"], out["rgb0_blur"], batch["rgbs"])
         return loss, mse
 
-    def step_fn(self, stage: str):
-        if stage in self._step_fns:
-            return self._step_fns[stage]
-
-        def step(params, opt_state, batch, key):
-            (loss, mse), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True
-            )(params, batch, key, stage)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, mse
-
-        rep = replicated_sharding(self.mesh)
-        shard = batch_sharding(self.mesh)
-        fn = jax.jit(
-            step,
-            in_shardings=(rep, rep, shard, rep),
-            out_shardings=(rep, rep, rep, rep),
-            donate_argnums=(0, 1),
+    def _loss_fn_consist(self, params, batch, consist, key, stage: str):
+        """stage loss + weighted CTE term (run_lushnerf.py:646-659)."""
+        loss, mse = self._loss_fn(params, batch, key, stage)
+        rgb_align = render_aligned_pixels(
+            params, self.lush_cfg, self.H, self.W, jnp.asarray(self.K),
+            consist["poses"], consist["align_pix"],
         )
-        self._step_fns[stage] = fn
+        closs = consistency_loss(
+            rgb_align, consist["certainty"], self.cfg.consist_threshold
+        )
+        return loss + consist["weight"] * closs, mse
+
+    def step_fn(self, stage: str, consist: bool = False):
+        name = stage + ("+consist" if consist else "")
+        if name in self._step_fns:
+            return self._step_fns[name]
+
+        if consist:
+            def step(params, opt_state, batch, consist_batch, key):
+                (loss, mse), grads = jax.value_and_grad(
+                    self._loss_fn_consist, has_aux=True
+                )(params, batch, consist_batch, key, stage)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss, mse
+
+            rep = replicated_sharding(self.mesh)
+            shard = batch_sharding(self.mesh)
+            fn = jax.jit(
+                step,
+                in_shardings=(rep, rep, shard, rep, rep),
+                out_shardings=(rep, rep, rep, rep),
+                donate_argnums=(0, 1),
+            )
+        else:
+            def step(params, opt_state, batch, key):
+                (loss, mse), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(params, batch, key, stage)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss, mse
+
+            rep = replicated_sharding(self.mesh)
+            shard = batch_sharding(self.mesh)
+            fn = jax.jit(
+                step,
+                in_shardings=(rep, rep, shard, rep),
+                out_shardings=(rep, rep, rep, rep),
+                donate_argnums=(0, 1),
+            )
+        self._step_fns[name] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -220,10 +272,24 @@ class Trainer:
                 i, cfg.kernel_start_iter, cfg.allkernel_start_iter, cfg.blur_model_type
             )
             self.key, step_key = jax.random.split(self.key)
-            fn = self.step_fn(stage)
-            self.params, self.opt_state, loss, mse = fn(
-                self.params, self.opt_state, batch, step_key
-            )
+            if consist_active(i, cfg.noisenerf_start_iter):
+                consist_batch = self._sample_consist_batch(i)
+                fn = self.step_fn(stage, consist=True)
+                self.params, self.opt_state, loss, mse = fn(
+                    self.params, self.opt_state, batch, consist_batch, step_key
+                )
+            else:
+                fn = self.step_fn(stage)
+                self.params, self.opt_state, loss, mse = fn(
+                    self.params, self.opt_state, batch, step_key
+                )
+
+            if (
+                i % cfg.rematch_interval == 0
+                and consist_active(i, cfg.noisenerf_start_iter)
+                and self._matcher is not None
+            ):
+                self.rematch(i)
 
             if i % cfg.i_weights == 0:
                 ckpt_lib.save_checkpoint(self.exp_dir, i, self.params, self.opt_state)
@@ -241,6 +307,37 @@ class Trainer:
                     f.write(json.dumps({"step": i, "loss": loss_v, "psnr": psnr_v,
                                         "stage": stage, "wall_s": dt}) + "\n")
         return dict(loss=loss_v, psnr=psnr_v)
+
+    # ------------------------------------------------------------------
+    # consistency (CTE)
+    # ------------------------------------------------------------------
+
+    def _sample_consist_batch(self, i: int):
+        """Host-side anchor/column sampling from the match tables; only the
+        tiny gathered slice is uploaded each step."""
+        cfg = self.cfg
+        anchor, align_pix, cert = self.match_tables.sample_anchor(
+            self.np_rng, cfg.consist_num_pixels
+        )
+        # the CTE term enters the loss strictly after noisenerf_start_iter
+        # (run_lushnerf.py:658 vs :629 — pass runs at >=, loss adds at >)
+        weight = CONSIST_WEIGHT if consist_in_loss(i, cfg.noisenerf_start_iter) else 0.0
+        return {
+            "poses": jnp.asarray(self.poses[self.i_train]),
+            "align_pix": jnp.asarray(align_pix),
+            "certainty": jnp.asarray(cert),
+            "weight": jnp.float32(weight),
+        }
+
+    def rematch(self, i: int):
+        """Re-run the matcher over freshly rendered training views
+        (run_lushnerf.py:745-774 — without the PNG disk roundtrip)."""
+        renders = []
+        for vi in self.i_train:
+            rgb, _, _ = self.render_pose(self.poses[vi])
+            renders.append(np.asarray(rgb))
+        self.match_tables = build_match_tables(self._matcher, np.stack(renders))
+        self.match_tables.save(self.exp_dir / f"match_tables_{i:06d}.npz")
 
     # ------------------------------------------------------------------
     # evaluation
