@@ -1,0 +1,214 @@
+"""DKMv3 coarse-to-fine Decoder + symmetric RegressionMatcher.match.
+
+Mirrors Decoder.forward (DKMv3.py:979-1059) with the shipped config
+(scales 32..1, GP+DFN at {32,16}, ConvRefiner at {16,8,4,2,1}, proj at
+{32,16}, detach=True) and RegressionMatcher.match (:1218-1308) with
+symmetric matching and the (640, 1120) two-pass upsample scheme used by
+LuSh (run_lushnerf.py:349).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lushnerf_tpu.matcher.dkm.blocks import (
+    REFINER_CFG,
+    conv_refiner_forward,
+    dfn_forward,
+    gp_forward,
+)
+from lushnerf_tpu.matcher.dkm.nn import conv2d, interpolate_bilinear, meshgrid_coords
+from lushnerf_tpu.matcher.dkm.resnet import resnet50_pyramid
+
+DFN_DIM = 384
+COARSE_SCALES = (32, 16)
+
+
+def decoder_forward(
+    params,
+    f1: Dict[int, jnp.ndarray],
+    f2: Dict[int, jnp.ndarray],
+    upsample: bool = False,
+    dense_flow: Optional[jnp.ndarray] = None,
+    dense_certainty: Optional[jnp.ndarray] = None,
+):
+    """Coarse-to-fine flow estimation over the pyramid."""
+    all_scales = ["32", "16", "8", "4", "2", "1"] if not upsample else ["8", "4", "2", "1"]
+    sizes = {s: f1[s].shape[-2:] for s in f1}
+    h, w = sizes[1]
+    b = f1[1].shape[0]
+    coarsest = int(all_scales[0])
+
+    old_stuff = jnp.zeros((b, DFN_DIM, *sizes[coarsest]), f1[coarsest].dtype)
+    if not upsample:
+        coords = meshgrid_coords(*sizes[coarsest])
+        dense_flow = jnp.broadcast_to(
+            jnp.transpose(coords, (2, 0, 1))[None], (b, 2, *sizes[coarsest])
+        )
+        dense_certainty = 0.0
+    else:
+        dense_flow = interpolate_bilinear(dense_flow, sizes[coarsest])
+        dense_certainty = interpolate_bilinear(dense_certainty, sizes[coarsest])
+
+    dense_corresps: Dict[int, Dict[str, jnp.ndarray]] = {}
+    for scale in all_scales:
+        ins = int(scale)
+        f1_s, f2_s = f1[ins], f2[ins]
+        if scale in ("16", "32"):
+            f1_s = conv2d(params, f"decoder.proj.{scale}", f1_s)
+            f2_s = conv2d(params, f"decoder.proj.{scale}", f2_s)
+
+        if ins in COARSE_SCALES:
+            old_stuff = interpolate_bilinear(old_stuff, sizes[ins])
+            new_stuff = gp_forward(params, f"decoder.gps.{scale}", f1_s, f2_s)
+            dense_flow, dense_certainty, old_stuff = dfn_forward(
+                params, "decoder.embedding_decoder", new_stuff, f1_s, old_stuff, scale
+            )
+
+        if scale in REFINER_CFG:
+            delta_certainty, displacement = conv_refiner_forward(
+                params, f"decoder.conv_refiner.{scale}", f1_s, f2_s, dense_flow, scale
+            )
+            dense_flow = jnp.stack(
+                (
+                    dense_flow[:, 0] + ins * displacement[:, 0] / (4 * w),
+                    dense_flow[:, 1] + ins * displacement[:, 1] / (4 * h),
+                ),
+                axis=1,
+            )
+            dense_certainty = dense_certainty + delta_certainty
+
+        dense_corresps[ins] = {
+            "dense_flow": dense_flow,
+            "dense_certainty": dense_certainty,
+        }
+        if scale != "1":
+            dense_flow = interpolate_bilinear(dense_flow, sizes[ins // 2])
+            dense_certainty = interpolate_bilinear(dense_certainty, sizes[ins // 2])
+            # detach=True (inference graphs are already grad-free)
+            dense_flow = jax.lax.stop_gradient(dense_flow)
+            dense_certainty = jax.lax.stop_gradient(dense_certainty)
+    return dense_corresps
+
+
+def _forward_symmetric(params, query, support, upsample=False, corresps=None):
+    """forward_symmetric (DKMv3.py:1203-1211): one encoder pass over the
+    concatenated batch, support pyramid with swapped halves."""
+    X = jnp.concatenate([query, support], axis=0)
+    pyramid = resnet50_pyramid(params, X)
+    f_q = pyramid
+    f_s = {
+        s: jnp.concatenate(
+            [f[f.shape[0] // 2 :], f[: f.shape[0] // 2]], axis=0
+        )
+        for s, f in pyramid.items()
+    }
+    kwargs = {}
+    if corresps is not None:
+        kwargs = dict(
+            dense_flow=corresps["dense_flow"],
+            dense_certainty=corresps["dense_certainty"],
+        )
+    return decoder_forward(params, f_q, f_s, upsample=upsample, **kwargs)
+
+
+def dkm_match(params, im0: jnp.ndarray, im1: jnp.ndarray, hs: int = 640, ws: int = 1120):
+    """RegressionMatcher.match (symmetric, upsample_preds) for one pair.
+
+    im0, im1: [3, H, W] float in [0,1] (no ImageNet normalization — the
+    reference's match() path feeds raw tensors to the encoder).
+    Returns (warp [hs, 2*ws, 4], certainty [hs, 2*ws]).
+    """
+    query = interpolate_bilinear(im0[None], (hs, ws))
+    support = interpolate_bilinear(im1[None], (hs, ws))
+
+    corresps = _forward_symmetric(params, query, support)
+
+    low_res_certainty = interpolate_bilinear(corresps[16]["dense_certainty"], (hs, ws))
+    # factor * cert * (cert < cert_clamp=0): only negative low-res logits
+    # subtract (DKMv3.py:1258-1262)
+    low_res_certainty = 0.5 * low_res_certainty * (low_res_certainty < 0)
+
+    # second (upsample) pass at the target resolution, seeded by the finest
+    # flow of the first pass (:1264-1271)
+    corresps = _forward_symmetric(
+        params, query, support, upsample=True, corresps=corresps[1]
+    )
+
+    query_to_support = jnp.transpose(corresps[1]["dense_flow"], (0, 2, 3, 1))
+    dense_certainty = corresps[1]["dense_certainty"] - low_res_certainty
+
+    coords = meshgrid_coords(hs, ws)
+    query_coords = jnp.broadcast_to(coords[None], (2, hs, ws, 2))
+    dense_certainty = jax.nn.sigmoid(dense_certainty)
+    wrong = jnp.sum((jnp.abs(query_to_support) > 1).astype(jnp.int32), axis=-1) > 0
+    dense_certainty = jnp.where(wrong[:, None], 0.0, dense_certainty)
+    query_to_support = jnp.clip(query_to_support, -1, 1)
+
+    qts, stq = query_to_support[:1], query_to_support[1:]
+    q_warp = jnp.concatenate([query_coords[:1], qts], axis=-1)
+    s_warp = jnp.concatenate([stq, query_coords[:1]], axis=-1)
+    warp = jnp.concatenate([q_warp, s_warp], axis=2)  # [1, hs, 2ws, 4]
+    certainty = jnp.concatenate(
+        [dense_certainty[:1], dense_certainty[1:]], axis=3
+    )[:, 0]
+    return warp[0], certainty[0]
+
+
+@dataclasses.dataclass
+class DKMMatcher:
+    """Matcher-protocol adapter running the JAX DKMv3 port.
+
+    max_columns: host-side column subsample per pair (the reference keeps
+    all hs*ws columns in a ~10 GB device tensor; uniform subsampling
+    preserves the train-time 32-column uniform draw distribution).
+    """
+
+    params: Dict[str, jnp.ndarray]
+    hs: int = 640
+    ws: int = 1120
+    max_columns: int = 65536
+    _jitted: object = None
+
+    @classmethod
+    def from_pretrained(cls, ckpt_path: Optional[str] = None, **kw) -> "DKMMatcher":
+        import os
+
+        from lushnerf_tpu.matcher.dkm.convert import load_torch_checkpoint
+
+        ckpt_path = ckpt_path or os.environ.get("LUSHNERF_DKM_CKPT")
+        if not ckpt_path or not os.path.exists(ckpt_path):
+            raise FileNotFoundError(
+                "DKM checkpoint not found; set LUSHNERF_DKM_CKPT or pass "
+                "ckpt_path (reference weights: gim_dkm_100h.ckpt)"
+            )
+        return cls(params=load_torch_checkpoint(ckpt_path), **kw)
+
+    def match(self, img0: np.ndarray, img1: np.ndarray):
+        if self._jitted is None:
+            self._jitted = jax.jit(
+                lambda p, a, b: dkm_match(p, a, b, self.hs, self.ws)
+            )
+        a = jnp.asarray(img0.transpose(2, 0, 1), jnp.float32)
+        b = jnp.asarray(img1.transpose(2, 0, 1), jnp.float32)
+        warp, certainty = self._jitted(self.params, a, b)
+        H, W = img0.shape[:2]
+        # LuSh takes the first W columns (the query half at its image
+        # width) and converts to pixel coords (run_lushnerf.py:757-770)
+        matches = np.asarray(warp[:, : self.ws]).reshape(-1, 4)
+        cert = np.asarray(certainty[:, : self.ws]).reshape(-1)
+        kpts0 = np.stack(
+            [W * (matches[:, 0] + 1) / 2, H * (matches[:, 1] + 1) / 2], -1
+        )
+        kpts1 = np.stack(
+            [W * (matches[:, 2] + 1) / 2, H * (matches[:, 3] + 1) / 2], -1
+        )
+        if self.max_columns and len(cert) > self.max_columns:
+            idx = np.linspace(0, len(cert) - 1, self.max_columns).astype(int)
+            kpts0, kpts1, cert = kpts0[idx], kpts1[idx], cert[idx]
+        return kpts0.astype(np.float32), kpts1.astype(np.float32), cert.astype(np.float32)
