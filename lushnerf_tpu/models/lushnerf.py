@@ -279,6 +279,37 @@ def render_rays_chunked_eval(
     )
 
 
+def render_warped_view(
+    params: Params,
+    cfg: LushConfig,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    image_idx: int,
+    ray_chunk: int = 4096,
+):
+    """Render each RBK sub-ray bundle of one training view separately.
+
+    A WORKING equivalent of the reference's dead render_warped_path
+    (models/lushnerf.py:898-947 — signature-mismatched with RBK.forward,
+    SURVEY.md quirks ledger): returns (rgbs [M+1, H, W, 3] tonemapped,
+    depths [M+1, H, W], centre_sub_rays [M+1, 3, 2]) so the learned blur
+    decomposition can be inspected.
+    """
+    M1 = cfg.rbk.num_rays_out
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    rays = jnp.stack([rays_o, rays_d], axis=-1).reshape(-1, 3, 2)
+    idx = jnp.full((rays.shape[0],), image_idx, jnp.int32)
+    sub_rays, _ = apply_rbk(params["rbk"], cfg.rbk, rays, idx)  # [HW, M1, 3, 2]
+    centre = sub_rays.reshape(H, W, M1, 3, 2)[H // 2, W // 2]
+    flat = jnp.transpose(sub_rays, (1, 0, 2, 3)).reshape(M1 * H * W, 3, 2)
+    rgb, _, depth = render_rays_chunked_eval(params, cfg, H, W, K[0][0], flat, ray_chunk)
+    tm = cfg.tone_mapping_type
+    rgb = apply_tonemap(params["tonemap"], tm, rgb).reshape(M1, H, W, 3)
+    return rgb, depth.reshape(M1, H, W), centre
+
+
 def render_image(
     params: Params,
     cfg: LushConfig,

@@ -118,12 +118,39 @@ class Trainer:
         images_u8 = (self.images * 255).astype(np.uint8)
         self.frequency_masks = get_masks_for_images(images_u8, radius=cfg.fq_threshold)
 
+        # optional training-image downsample (run_lushnerf.py:542-553):
+        # rays come from scaled intrinsics; NDC/forward keep the original
+        # H, W, focal.
+        images_train = self.images[self.i_train]
+        fq_train = self.frequency_masks[self.i_train]
+        k_train = self.K
+        if cfg.datadownsample > 0:
+            import cv2
+
+            s = 1.0 / cfg.datadownsample
+            images_train = np.stack(
+                [cv2.resize(im, None, None, s, s, cv2.INTER_AREA) for im in images_train]
+            )
+            hei, wid = images_train.shape[1:3]
+            fq_train = np.stack(
+                [cv2.resize(m, (wid, hei), interpolation=cv2.INTER_NEAREST) for m in fq_train]
+            )
+            k_train = np.array(
+                [
+                    [self.K[0, 0] * wid / self.W, 0, self.K[0, 2] * wid / self.W],
+                    [0, self.K[1, 1] * hei / self.H, self.K[1, 2] * hei / self.H],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+
         self.dataset: RayDataset = build_ray_dataset(
-            self.images[self.i_train],
+            images_train,
             self.poses[self.i_train],
-            self.K,
-            self.frequency_masks[self.i_train],
+            k_train,
+            fq_train,
             np.arange(n)[self.i_train],
+            full_hw=(self.H, self.W),
         )
         self.np_rng = np.random.default_rng(cfg.seed)
         self.dataset.shuffle(self.np_rng)
@@ -394,6 +421,34 @@ class Trainer:
         with open(self.metrics_file, "a") as f:
             f.write(line + "\n")
         return dict(mse=test_mse, psnr=test_psnr, ssim=test_ssim, lpips=test_lpips)
+
+    def save_warped_ray_img(self):
+        """Render each train view's RBK sub-ray bundle images
+        (run_lushnerf.py:426-478, via the working warped renderer)."""
+        import imageio.v2 as imageio
+
+        from lushnerf_tpu.models.lushnerf import render_warped_view
+
+        out_dir = self.exp_dir / f"warped_ray_img_{self.start_step:06d}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        to8 = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+        rays_save = []
+        for vi in self.i_train:
+            rgbs, depths, centre = render_warped_view(
+                self.params, self.lush_cfg, self.H, self.W, jnp.asarray(self.K),
+                jnp.asarray(self.poses[vi]), int(vi), self.cfg.ray_chunk_eval,
+            )
+            rgbs, depths = np.asarray(rgbs), np.asarray(depths)
+            rays_save.append(np.asarray(centre))
+            for wi in range(rgbs.shape[0]):
+                imageio.imwrite(out_dir / f"{vi:03d}_scene_{wi:03d}.png", to8(rgbs[wi]))
+                disp = 1.0 - depths[wi]
+                imageio.imwrite(
+                    out_dir / f"{vi:03d}_scene_{wi:03d}_disp.png",
+                    to8(disp / max(disp.max(), 1e-8)),
+                )
+        np.save(out_dir / "rays_warped.npy", np.stack(rays_save))
+        return out_dir
 
     def render_only(self, render_test: bool = False):
         """Render the spiral path (or the test poses) from the current

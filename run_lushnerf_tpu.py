@@ -19,6 +19,10 @@ def main(argv=None):
     cfg = Config.from_args(argv if argv is not None else sys.argv[1:])
     trainer = Trainer(cfg)
     trainer.setup()
+    if cfg.save_warped_ray_img:
+        out = trainer.save_warped_ray_img()
+        print("Warped rays and imgs are saved:", out)
+        return
     if cfg.render_only:
         out = trainer.render_only(render_test=cfg.render_test)
         print("RENDER ONLY done:", out)
