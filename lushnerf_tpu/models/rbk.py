@@ -115,6 +115,18 @@ def apply_rbk(params: Params, cfg: RBKConfig, rays: jnp.ndarray, image_idx: jnp.
     layout run_lushnerf.py:607); image_idx: [N] int.
     Returns (sub_rays [N, M+1, 3, 2], ccw [N, M+1]).
     """
+    if not cfg.use_origin:
+        # The reference crashes on this combination too (rbk_weighted_sum
+        # reads `num_motion` only assigned under use_origin,
+        # models/lushnerf.py:101-102), and all shipped configs set
+        # rbk_use_origin (configs/*:41).  Fail with a clear message instead
+        # of a shape error downstream.
+        raise ValueError(
+            "rbk_use_origin=False is unsupported: the weight head predicts "
+            "num_motion+1 composite weights (one per warped sub-ray plus the "
+            "original ray); set rbk_use_origin=True as every reference "
+            "scene config does."
+        )
     e = params["embed"][image_idx]  # [N, embed_ch]
     h = e
     for i in range(cfg.depth):

@@ -29,11 +29,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """Create a device mesh.  Default: all devices along a 1-D 'data' axis."""
+    """Create a device mesh.  Default: all devices along a 1-D 'data' axis.
+
+    If the default backend doesn't have enough devices for `shape` but the
+    CPU backend does (the virtual-device testing path, e.g.
+    ``jax_num_cpu_devices=8`` / ``--xla_force_host_platform_device_count``),
+    fall back to CPU devices so multi-chip sharding can be validated
+    without real chips.
+    """
     devices = np.asarray(jax.devices())
     if shape is None or len(shape) == 0:
         shape = (devices.size,)
-    devices = devices[: int(np.prod(shape))].reshape(tuple(shape))
+    need = int(np.prod(shape))
+    if devices.size < need:
+        try:
+            cpu = np.asarray(jax.devices("cpu"))
+        except RuntimeError:
+            cpu = np.asarray([])
+        if cpu.size >= need:
+            devices = cpu
+    if devices.size < need:
+        raise ValueError(f"mesh shape {tuple(shape)} needs {need} devices, have {devices.size}")
+    devices = devices[:need].reshape(tuple(shape))
     return Mesh(devices, tuple(axis_names[: devices.ndim]))
 
 
