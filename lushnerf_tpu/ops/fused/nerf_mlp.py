@@ -20,17 +20,25 @@ Architecture fused (reference NeRF MLP, utils/run_lushnerf_helpers.py:
   rgb = hv @ Wr + br
   out = [rgb, alpha]
 
-Inputs are the positionally-encoded points x [P, 63] and dirs d [P, 27],
-zero-padded on the channel axis to 128 lanes (weights padded to match, so
-results are exact).  The backward pass recomputes activations per tile
-(no [P, 256] residuals ever hit HBM) and accumulates weight grads across
-the sequential TPU grid.
+The positional encoding is computed INSIDE the kernel: the input is one
+packed [P, 8] array (lanes 0:3 = xyz, 3:6 = viewdir), and the PE lanes
+[x, sin(2^0 x), cos(2^0 x), ..., cos(2^(L-1) x)] (reference channel
+order, utils/run_lushnerf_helpers.py:311-361) are produced on the VPU by
+a 0/1 channel-selection matmul + per-lane frequency scale + masked
+sin/cos.  Staging PE'd inputs through HBM instead ([P, 128] f32 x 2 per
+pass) measurably cost more than the MLP matmuls themselves.
+
+The backward pass recomputes activations per tile (no [P, 256] residuals
+ever hit HBM), emits d(xyz)/d(dir) back through the PE, and accumulates
+weight grads across the sequential TPU grid.
 """
 
 from __future__ import annotations
 
 import functools
 from typing import Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -127,16 +135,115 @@ def unpad_param_grads(grads: Tuple[jnp.ndarray, ...], params, width: int = 256):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel positional encoding
+# ---------------------------------------------------------------------------
+
+# Packed PE-constant array layout (rows): Sx 0:8, Sd 8:16,
+# meta_x (freq/id/sin/cos) 16:20, meta_d 20:24; padded to 32 sublanes.
+PE_ROWS = 32
+XD_CH = 8  # packed input lanes: 0:3 xyz, 3:6 viewdir, 6:8 zero pad
+
+
+def _pe_lane_tables(num_freqs: int, src_lo: int, dims: int = 3):
+    """Selection matrix + per-lane (freq, id, sin, cos) rows for one PE.
+
+    Lane order matches the reference embedder exactly
+    (ops/encoding.py / utils/run_lushnerf_helpers.py:311-361):
+    [x, sin(2^0 x), cos(2^0 x), ..., sin(2^(L-1) x), cos(2^(L-1) x)].
+    """
+    out_dim = dims + 2 * num_freqs * dims
+    assert out_dim <= LANES
+    sel = np.zeros((XD_CH, LANES), np.float32)
+    freq = np.zeros((1, LANES), np.float32)
+    idm = np.zeros((1, LANES), np.float32)
+    sinm = np.zeros((1, LANES), np.float32)
+    cosm = np.zeros((1, LANES), np.float32)
+    for l in range(out_dim):
+        if l < dims:
+            c, f, kind = l, 1.0, "id"
+        else:
+            j, r = divmod(l - dims, 2 * dims)
+            c, f = r % dims, float(2.0**j)
+            kind = "sin" if r < dims else "cos"
+        sel[src_lo + c, l] = 1.0
+        freq[0, l] = f
+        (idm if kind == "id" else sinm if kind == "sin" else cosm)[0, l] = 1.0
+    return sel, np.concatenate([freq, idm, sinm, cosm], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pe_consts_np(num_freqs_x: int, num_freqs_d: int) -> np.ndarray:
+    sx, mx = _pe_lane_tables(num_freqs_x, 0)
+    sd, md = _pe_lane_tables(num_freqs_d, 3)
+    C = np.concatenate([sx, sd, mx, md], axis=0)
+    return np.pad(C, ((0, PE_ROWS - C.shape[0]), (0, 0)))
+
+
+def _sel_dot(a, b):
+    """Channel-selection matmul against a 0/1 matrix.
+
+    HIGHEST precision so f32 inputs pass through exactly (default TPU
+    precision would truncate the coordinates to bf16 before the PE).
+    """
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _sel_dot_t(a, b):
+    """a @ b^T at HIGHEST precision (PE backward)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pe_forward(xd, C):
+    """xd [T, 8] packed -> (xs, ds, x_pe, d_pe), each [T, 128].
+
+    xs/ds are the frequency-scaled selected coordinates (reused by the
+    backward pass to avoid re-running the selection matmuls).
+    """
+    Sx, Sd = C[0:XD_CH], C[XD_CH : 2 * XD_CH]
+    fx, ix, sx, cx = (C[16 + i : 17 + i] for i in range(4))
+    fd, id_, sd_, cd = (C[20 + i : 21 + i] for i in range(4))
+    xs = _sel_dot(xd, Sx) * fx
+    ds = _sel_dot(xd, Sd) * fd
+    x_pe = ix * xs + sx * jnp.sin(xs) + cx * jnp.cos(xs)
+    d_pe = id_ * ds + sd_ * jnp.sin(ds) + cd * jnp.cos(ds)
+    return xs, ds, x_pe, d_pe
+
+
+def _pe_backward(xs, ds, C, g_x, g_d):
+    """Grads w.r.t. PE outputs [T, 128] -> grad w.r.t. packed xd [T, 8]."""
+    Sx, Sd = C[0:XD_CH], C[XD_CH : 2 * XD_CH]
+    fx, ix, sx, cx = (C[16 + i : 17 + i] for i in range(4))
+    fd, id_, sd_, cd = (C[20 + i : 21 + i] for i in range(4))
+    d_xs = (ix + sx * jnp.cos(xs) - cx * jnp.sin(xs)) * g_x * fx
+    d_ds = (id_ + sd_ * jnp.cos(ds) - cd * jnp.sin(ds)) * g_d * fd
+    return _sel_dot_t(d_xs, Sx) + _sel_dot_t(d_ds, Sd)
+
+
+# ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
 
 def _make_dot(compute_dtype):
     """MXU matmul at the requested input precision, f32 accumulation.
-    bf16 inputs run the MXU at full rate (f32 needs multiple passes)."""
+
+    'bfloat16': cast inputs to bf16 — one MXU pass (full rate).
+    'float32': request Precision.HIGHEST so the result really is f32-grade
+    (bf16x6 passes).  JAX's *default* precision on TPU silently truncates
+    f32 matmul inputs to a single bf16 pass, which would make 'float32'
+    a lie (measured: bit-identical outputs to the bf16 mode).
+    """
     cd = jnp.dtype(compute_dtype)
     if cd == jnp.float32:
-        return lambda a, b: jnp.dot(a, b, preferred_element_type=F32)
+        return lambda a, b: jnp.dot(
+            a, b, preferred_element_type=F32, precision=jax.lax.Precision.HIGHEST
+        )
     return lambda a, b: jnp.dot(
         a.astype(cd), b.astype(cd), preferred_element_type=F32
     )
@@ -163,10 +270,11 @@ def _fwd_activations(x, d, w, compute_dtype=jnp.float32):
     return a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb
 
 
-def _fwd_kernel(x_ref, d_ref, *refs, compute_dtype=jnp.float32):
+def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32):
     w = tuple(r[...] for r in refs[:-1])
     out_ref = refs[-1]
-    acts = _fwd_activations(x_ref[...], d_ref[...], w, compute_dtype)
+    _, _, x_pe, d_pe = _pe_forward(xd_ref[...], c_ref[...])
+    acts = _fwd_activations(x_pe, d_pe, w, compute_dtype)
     alpha, rgb = acts[8], acts[11]
     # out lanes: 0:3 rgb, 3 alpha (alpha lives in lane 0 of its buffer)
     out = jnp.concatenate(
@@ -175,22 +283,23 @@ def _fwd_kernel(x_ref, d_ref, *refs, compute_dtype=jnp.float32):
     out_ref[...] = out
 
 
-def _fwd_call(w: Tuple[jnp.ndarray, ...], x: jnp.ndarray, d: jnp.ndarray, tile: int,
-              compute_dtype=jnp.float32):
-    P = x.shape[0]
+def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
+              compute_dtype=jnp.float32, num_freqs_x: int = 10, num_freqs_d: int = 4):
+    P = xd.shape[0]
     grid = P // tile
-    specs_xd = [
-        pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    C = jnp.asarray(_pe_consts_np(num_freqs_x, num_freqs_d))
+    specs_in = [
+        pl.BlockSpec((tile, XD_CH), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, compute_dtype=compute_dtype),
         grid=(grid,),
-        in_specs=specs_xd + w_specs,
+        in_specs=specs_in + w_specs,
         out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, LANES), F32),
-    )(x, d, *w)
+    )(xd, C, *w)
     return out
 
 
@@ -199,26 +308,29 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], x: jnp.ndarray, d: jnp.ndarray, tile: 
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(x_ref, d_ref, g_ref, *refs, compute_dtype=jnp.float32):
+def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
     w_refs = refs[: _N_W + _N_B]
     out_refs = refs[_N_W + _N_B :]
     w = tuple(r[...] for r in w_refs)
     (W0, W1, W2, W3, W4, W5a, W5b, W6, W7, Wa, Wf, Wvf, Wvd, Wr, *_bs) = w
 
-    x = x_ref[...]
-    d = d_ref[...]
+    C = c_ref[...]
     g = g_ref[...]
+    xs, ds, x, d = _pe_forward(xd_ref[...], C)
     a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb = _fwd_activations(
         x, d, w, compute_dtype
     )
 
     cd = jnp.dtype(compute_dtype)
     cast = (lambda t: t) if cd == jnp.float32 else (lambda t: t.astype(cd))
+    prec = jax.lax.Precision.HIGHEST if cd == jnp.float32 else None
     dotT = lambda a, b: jax.lax.dot_general(
-        cast(a), cast(b), (((0,), (0,)), ((), ())), preferred_element_type=F32
+        cast(a), cast(b), (((0,), (0,)), ((), ())),
+        preferred_element_type=F32, precision=prec,
     )  # a^T @ b with a [T, m], b [T, n] -> [m, n]
     dBT = lambda a, b: jax.lax.dot_general(
-        cast(a), cast(b), (((1,), (1,)), ((), ())), preferred_element_type=F32
+        cast(a), cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=F32, precision=prec,
     )  # a @ b^T
 
     g_rgb = jnp.concatenate([g[:, :3], jnp.zeros_like(g[:, : LANES - 3])], axis=-1)
@@ -268,12 +380,10 @@ def _bwd_kernel(x_ref, d_ref, g_ref, *refs, compute_dtype=jnp.float32):
         sum0(g_alpha), sum0(d_feat), sum0(d_hv), sum0(g_rgb),
     )
 
-    dx_ref, dd_ref = out_refs[0], out_refs[1]
-    dx_ref[...] = d_x
-    dd_ref[...] = d_d
+    out_refs[0][...] = _pe_backward(xs, ds, C, d_x, d_d)
 
     first = pl.program_id(0) == 0
-    for gr, ref in zip(grads, out_refs[2:]):
+    for gr, ref in zip(grads, out_refs[1:]):
         @pl.when(first)
         def _(ref=ref, gr=gr):
             ref[...] = gr
@@ -283,29 +393,30 @@ def _bwd_kernel(x_ref, d_ref, g_ref, *refs, compute_dtype=jnp.float32):
             ref[...] += gr
 
 
-def _bwd_call(w, x, d, g, tile: int, compute_dtype=jnp.float32):
-    P = x.shape[0]
+def _bwd_call(w, xd, g, tile: int, compute_dtype=jnp.float32,
+              num_freqs_x: int = 10, num_freqs_d: int = 4):
+    P = xd.shape[0]
     grid = P // tile
+    C = jnp.asarray(_pe_consts_np(num_freqs_x, num_freqs_d))
+    xd_spec = pl.BlockSpec((tile, XD_CH), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w]
     acc_specs = [
         pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM)
         for a in w
     ]
-    out_shapes = (
-        [jax.ShapeDtypeStruct((P, LANES), F32), jax.ShapeDtypeStruct((P, LANES), F32)]
-        + [jax.ShapeDtypeStruct(a.shape, F32) for a in w]
-    )
-    out_specs = [tile_spec, tile_spec] + acc_specs
+    out_shapes = [jax.ShapeDtypeStruct((P, XD_CH), F32)] + [
+        jax.ShapeDtypeStruct(a.shape, F32) for a in w
+    ]
+    out_specs = [xd_spec] + acc_specs
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
         grid=(grid,),
-        in_specs=[tile_spec, tile_spec, tile_spec] + w_specs,
+        in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), tile_spec] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(x, d, g, *w)
-    dx, dd = outs[0], outs[1]
-    return dx, dd, tuple(outs[2:])
+    )(xd, C, g, *w)
+    return outs[0], tuple(outs[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -313,27 +424,30 @@ def _bwd_call(w, x, d, g, tile: int, compute_dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_mlp_padded(w, x, d, tile: int = DEFAULT_TILE, compute_dtype: str = "float32"):
-    """w: padded param tuple; x, d: [P, 128] padded PE inputs (P % tile == 0).
-    Returns raw [P, 4] = [rgb_raw, alpha_raw]."""
-    out = _fwd_call(w, x, d, tile, jnp.dtype(compute_dtype))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_mlp_packed(w, xd, tile: int = DEFAULT_TILE, compute_dtype: str = "float32",
+                     num_freqs_x: int = 10, num_freqs_d: int = 4):
+    """w: padded param tuple; xd: [P, 8] packed (xyz, dir) input
+    (P % tile == 0).  PE happens in-kernel.  Returns raw [P, 4] =
+    [rgb_raw, alpha_raw]."""
+    out = _fwd_call(w, xd, tile, jnp.dtype(compute_dtype), num_freqs_x, num_freqs_d)
     return out[:, :4]
 
 
-def _fused_fwd(w, x, d, tile, compute_dtype):
-    out = _fwd_call(w, x, d, tile, jnp.dtype(compute_dtype))
-    return out[:, :4], (w, x, d)
+def _fused_fwd(w, xd, tile, compute_dtype, num_freqs_x, num_freqs_d):
+    out = _fwd_call(w, xd, tile, jnp.dtype(compute_dtype), num_freqs_x, num_freqs_d)
+    return out[:, :4], (w, xd)
 
 
-def _fused_bwd(tile, compute_dtype, res, g4):
-    w, x, d = res
+def _fused_bwd(tile, compute_dtype, num_freqs_x, num_freqs_d, res, g4):
+    w, xd = res
     g = jnp.pad(g4, ((0, 0), (0, LANES - 4)))
-    dx, dd, dw = _bwd_call(w, x, d, g, tile, jnp.dtype(compute_dtype))
-    return dw, dx, dd
+    dxd, dw = _bwd_call(w, xd, g, tile, jnp.dtype(compute_dtype),
+                        num_freqs_x, num_freqs_d)
+    return dw, dxd
 
 
-fused_mlp_padded.defvjp(_fused_fwd, _fused_bwd)
+fused_mlp_packed.defvjp(_fused_fwd, _fused_bwd)
 
 
 def supports(mlp_cfg, render_cfg) -> bool:
@@ -355,6 +469,9 @@ def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile: int = DE
     """Drop-in for renderer.eval_points with the fused kernel.
 
     pts: [R, S, 3]; viewdirs: [R, 3].  Returns raw [R, S, 4].
+
+    Only the narrow packed [P, 8] (xyz, dir) array crosses HBM; the PE
+    expansion to 63+27 channels happens inside the kernel.
     """
     if not supports(mlp_cfg, render_cfg):
         raise NotImplementedError(
@@ -366,12 +483,13 @@ def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile: int = DE
     x = pts.reshape(P, 3)
     d = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(P, 3)
 
-    x_pe = render_cfg.pe_x(x)
-    d_pe = render_cfg.pe_d(d)
     P_pad = -(-P // tile) * tile
-    x_pe = jnp.pad(x_pe, ((0, P_pad - P), (0, LANES - x_pe.shape[-1]))).astype(F32)
-    d_pe = jnp.pad(d_pe, ((0, P_pad - P), (0, LANES - d_pe.shape[-1]))).astype(F32)
+    xd = jnp.concatenate([x, d], axis=-1).astype(F32)
+    xd = jnp.pad(xd, ((0, P_pad - P), (0, XD_CH - xd.shape[-1])))
 
     w = pad_params(params, mlp_cfg.width)
-    raw = fused_mlp_padded(w, x_pe, d_pe, tile, render_cfg.mlp_compute_dtype)
+    raw = fused_mlp_packed(
+        w, xd, tile, render_cfg.mlp_compute_dtype,
+        render_cfg.multires, render_cfg.multires_views,
+    )
     return raw[:P].reshape(R, S, 4)
