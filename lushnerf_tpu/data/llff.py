@@ -24,103 +24,164 @@ import numpy as np
 from lushnerf_tpu.data.preprocess import preprocessed_dir
 
 
+# ---------------------------------------------------------------------------
+# Pose math.  Numeric conventions follow the public LLFF/NeRF lineage the
+# reference inherits (data_utils/load_llff.py:205-334) — camera frames are
+# [right, up, forward, origin] columns with right = up x forward — but the
+# implementation here is batch-vectorized (no per-angle Python loops) and
+# uses analytic rigid inverses instead of generic 4x4 linalg.inv.  Golden
+# behavior is pinned by tests/test_pose_math.py.
+# ---------------------------------------------------------------------------
+
+
+def _unit(v, axis=-1):
+    return v / np.linalg.norm(v, axis=axis, keepdims=True)
+
+
 def _normalize(x):
     return x / np.linalg.norm(x)
 
 
-def _viewmatrix(z, up, pos):
-    vec2 = _normalize(z)
-    vec0 = _normalize(np.cross(up, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
+def _camera_frames(forward, up, origin):
+    """Orthonormal c2w frame(s) from viewing direction(s) and an up hint.
+
+    forward, origin: [..., 3]; up: [3] or [..., 3] (broadcast).  Columns:
+    right = unit(up x fwd), true_up = unit(fwd x right), fwd, origin.
+    Returns [..., 3, 4]; fully batched over leading axes.
+    """
+    fwd = _unit(np.asarray(forward, np.float64))
+    up_b = np.broadcast_to(np.asarray(up, np.float64), fwd.shape)
+    right = _unit(np.cross(up_b, fwd))
+    true_up = _unit(np.cross(fwd, right))
+    origin_b = np.broadcast_to(np.asarray(origin, np.float64), fwd.shape)
+    return np.stack([right, true_up, fwd, origin_b], axis=-1)
+
+
+def _rigid_apply_inverse(frame, poses_r, poses_t):
+    """Apply the inverse of an orthonormal [3, 4] frame to pose batches.
+
+    Equivalent to inv(frame_as_4x4) @ pose (for rigid frames R^-1 = R^T),
+    without materializing 4x4s: returns (R^T @ poses_r, R^T (poses_t - t)).
+    """
+    rot, t = frame[:, :3], frame[:, 3]
+    new_r = np.einsum("ji,njk->nik", rot, poses_r)
+    new_t = np.einsum("ji,nj->ni", rot, poses_t - t)
+    return new_r, new_t
 
 
 def poses_avg(poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = _normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([_viewmatrix(vec2, up, center), hwf], 1)
+    """Mean camera pose [3, 5]: mean origin, summed forward/up axes."""
+    frame = _camera_frames(
+        poses[:, :3, 2].sum(0), poses[:, :3, 1].sum(0), poses[:, :3, 3].mean(0)
+    )
+    return np.concatenate([frame, poses[0, :3, -1:]], 1)
 
 
 def recenter_poses(poses):
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    p44 = np.concatenate([poses[:, :3, :4], bottom], -2)
-    p44 = np.linalg.inv(c2w) @ p44
-    poses_[:, :3, :4] = p44[:, :3, :4]
-    return poses_
+    """Re-express all poses relative to their average (world = avg cam)."""
+    out = poses + 0
+    avg = poses_avg(poses)[:, :4]
+    out[:, :3, :3], out[:, :3, 3] = _rigid_apply_inverse(
+        avg, poses[:, :3, :3], poses[:, :3, 3]
+    )
+    return out
 
 
 def render_path_spiral(c2w, up, rads, focal, zrate, rots, N):
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(c2w[:3, :4], np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads)
-        z = _normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([_viewmatrix(z, up, c), hwf], 1))
-    return render_poses
+    """Spiral of N camera poses around the average pose, all angles at once.
+
+    Cameras orbit on an ellipse of radii `rads` (with z wobble at `zrate`),
+    each looking at the point `focal` units down the average view axis.
+    Returns [N, 3, 5].
+    """
+    rads4 = np.append(np.asarray(rads, np.float64)[:3], 1.0)
+    theta = np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]
+    offsets = (
+        np.stack(
+            [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), np.ones_like(theta)],
+            axis=-1,
+        )
+        * rads4
+    )  # [N, 4] homogeneous, in the avg-camera frame
+    centers = offsets @ c2w[:3, :4].T  # [N, 3]
+    focus = c2w[:3, :4] @ np.array([0.0, 0.0, -focal, 1.0])
+    frames = _camera_frames(centers - focus, up, centers)
+    hwf = np.broadcast_to(c2w[:3, 4:5], (N, 3, 1))
+    return np.concatenate([frames, hwf], axis=-1)
 
 
 def render_path_epi(c2w, up, rads, N):
-    render_poses = []
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(-1, 1, N + 1)[:-1]:
-        c = np.dot(c2w[:3, :4], np.array([theta, 0, 0, 1.0]) * rads)
-        z = _normalize(np.dot(c2w[:3, :4], np.array([0, 0, 1, 0.0])))
-        render_poses.append(np.concatenate([_viewmatrix(z, up, c), hwf], 1))
-    return render_poses
+    """Epipolar sweep: N cameras translated along the avg-frame x axis,
+    constant forward direction.  (The homogeneous 1 is scaled by `rads`
+    too — reference quirk kept: the sweep center is rads * avg origin.)
+    Returns [N, 3, 5]."""
+    theta = np.linspace(-1.0, 1.0, N + 1)[:-1]
+    offsets = np.stack(
+        [theta, np.zeros_like(theta), np.zeros_like(theta), np.ones_like(theta)], axis=-1
+    ) * float(rads)
+    centers = offsets @ c2w[:3, :4].T
+    fwd = np.broadcast_to(c2w[:3, 2], centers.shape)
+    frames = _camera_frames(fwd, up, centers)
+    hwf = np.broadcast_to(c2w[:3, 4:5], (N, 3, 1))
+    return np.concatenate([frames, hwf], axis=-1)
+
+
+def _nearest_point_to_axes(origins, dirs):
+    """Least-squares point closest to all camera view axes.
+
+    Solves min_x sum_i |P_i (x - o_i)|^2 with P_i = I - d_i d_i^T, the
+    projector off axis i; normal equations mean(P_i^T P_i) x = mean(P_i^T P_i o_i).
+    origins, dirs: [N, 3] (dirs unit).
+    """
+    proj = np.eye(3) - dirs[:, :, None] * dirs[:, None, :]  # [N, 3, 3]
+    ata = np.einsum("nji,njk->nik", proj, proj).mean(0)
+    atb = np.einsum("nji,njk,nk->i", proj, proj, origins) / len(origins)
+    return np.linalg.solve(ata, atb)
 
 
 def spherify_poses(poses, bds):
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
-
-    def min_line_dist(rays_o, rays_d):
-        A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -A_i @ rays_o
-        return np.squeeze(-np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ b_i.mean(0))
-
-    center = min_line_dist(rays_o, rays_d)
+    """Recenter on the axis-convergence point, scale to unit radius, and
+    generate a 120-pose circular render path at the cameras' mean height."""
+    center = _nearest_point_to_axes(poses[:, :3, 3], poses[:, :3, 2])
     up = (poses[:, :3, 3] - center).mean(0)
+
+    # world frame with z = up hint (the [.1,.2,.3] tie-breaker fixes the
+    # in-plane rotation); columns ordered [vec1, vec2, vec0] as in the
+    # LLFF convention so +z of the new world is the scene's up
     vec0 = _normalize(up)
     vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
     vec2 = _normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
+    world = np.stack([vec1, vec2, vec0, center], 1)  # [3, 4] orthonormal
 
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+    reset_r, reset_t = _rigid_apply_inverse(world, poses[:, :3, :3], poses[:, :3, 3])
+    rad = np.sqrt(np.mean(np.sum(np.square(reset_t), -1)))
     sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
+    reset_t = reset_t * sc
     bds = bds * sc
     rad *= sc
 
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
+    zh = reset_t[:, 2].mean()
     radcircle = np.sqrt(rad**2 - zh**2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up = np.array([0, 0, -1.0])
-        vec2 = _normalize(camorigin)
-        vec0 = _normalize(np.cross(vec2, up))
-        vec1 = _normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
+    th = np.linspace(0.0, 2.0 * np.pi, 120)
+    camorigin = np.stack(
+        [radcircle * np.cos(th), radcircle * np.sin(th), np.full_like(th, zh)], axis=-1
+    )
+    # the circle path uses the mirrored frame [fwd x up, fwd x (fwd x up)]
+    # (reference convention for this path: both in-plane axes negated
+    # relative to _camera_frames)
+    fwd = _unit(camorigin)
+    vec0c = _unit(np.cross(fwd, np.array([0.0, 0.0, -1.0])))
+    vec1c = _unit(np.cross(fwd, vec0c))
+    new_poses = np.stack([vec0c, vec1c, fwd, camorigin], axis=-1)  # [120, 3, 4]
+
+    hwf = poses[0, :3, -1:]
     new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1
+        [new_poses, np.broadcast_to(hwf, new_poses[:, :3, :1].shape)], -1
     )
     poses_reset = np.concatenate(
-        [poses_reset[:, :3, :4], np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1
+        [reset_r, reset_t[:, :, None], np.broadcast_to(hwf, (len(poses), 3, 1))], -1
     )
-    return poses_reset, new_poses, bds
+    return poses_reset.astype(poses.dtype), new_poses.astype(poses.dtype), bds
 
 
 def _minify(basedir: Path, factor: int) -> Path:

@@ -145,17 +145,23 @@ def forward_naive(
     focal,
     rays: jnp.ndarray,
     key,
+    rand_override: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Warmup / no-blur forward on original rays (reference :657-662).
 
     rays: [N, 3, 2].  Returns tonemapped rgb/rgb0 and the (unused-in-loss)
     noise prediction, mirroring the reference's return tuple.
+    rand_override: explicit randomness dict (keys as _train_randomness)
+    replacing the key-derived draws — used by parity tests to feed the
+    reference's pytest=True seeded-numpy values.
     """
     tm = cfg.tone_mapping_type
     prepared = prepare_rays(
         cfg.render, H, W, focal, rays[..., 0], rays[..., 1], cfg.near, cfg.far
     )
-    rnd = _train_randomness(key, cfg, rays.shape[0])
+    rnd = rand_override if rand_override is not None else _train_randomness(
+        key, cfg, rays.shape[0]
+    )
     out = render_rays_scene(
         params["coarse"], params.get("fine"), cfg.mlp_cfg, cfg.render, prepared, **rnd
     )
@@ -180,6 +186,7 @@ def forward_kernel(
     image_idx: jnp.ndarray,
     key,
     fq_mask: Optional[jnp.ndarray] = None,
+    rand_override: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Main DSK training forward (reference :636-654).
 
@@ -201,8 +208,11 @@ def forward_kernel(
     prepared = prepare_rays(
         cfg.render, H, W, focal, flat[..., 0], flat[..., 1], cfg.near, cfg.far
     )
-    k_scene, k_noise = jax.random.split(key)
-    rnd = _train_randomness(k_scene, cfg, N * M1)
+    if rand_override is not None:
+        rnd = rand_override
+    else:
+        k_scene, _ = jax.random.split(key)
+        rnd = _train_randomness(k_scene, cfg, N * M1)
     out = render_rays_scene(
         params["coarse"], params.get("fine"), cfg.mlp_cfg, cfg.render, prepared, **rnd
     )

@@ -174,9 +174,21 @@ class Trainer:
         self.exp_dir = Path(cfg.basedir) / cfg.expname
         ckpt_path = cfg.ft_path or ckpt_lib.latest_checkpoint(self.exp_dir)
         if ckpt_path and not cfg.no_reload:
-            self.start_step, self.params, self.opt_state = ckpt_lib.load_checkpoint(
-                ckpt_path, self.params, self.opt_state
-            )
+            if str(ckpt_path).endswith(".tar"):
+                # reference-format torch checkpoint (run_lushnerf.py:687-694);
+                # params import, optimizer restarts (see torch_import docs)
+                from lushnerf_tpu.train.torch_import import (
+                    load_torch_checkpoint,
+                    merge_params,
+                )
+
+                self.start_step, imported = load_torch_checkpoint(ckpt_path)
+                self.params = merge_params(self.params, imported)
+                self.opt_state = self.optimizer.init(self.params)
+            else:
+                self.start_step, self.params, self.opt_state = ckpt_lib.load_checkpoint(
+                    ckpt_path, self.params, self.opt_state
+                )
             print(f"Resumed from {ckpt_path} at step {self.start_step}")
 
         # replicate state over the mesh
