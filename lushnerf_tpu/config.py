@@ -88,6 +88,10 @@ class Config:
     # logging / cadence
     i_print: int = 200
     i_tensorboard: int = 200
+    # finite-guard on every step's loss (device sync per iter — debug only;
+    # the i_print-cadence guard is always on).  Reference analog: per-key
+    # NaN/Inf prints, models/lushnerf.py:474-478.
+    debug_nan_check: bool = False
     i_weights: int = 10000
     i_testset: int = 5000
     i_video: int = 20000
@@ -128,6 +132,7 @@ class Config:
     rematch_interval: int = 20000
     matcher: str = "none"  # 'none' | 'precomputed' | 'dkm'
     match_table_path: str = ""
+    dkm_ckpt_path: str = ""  # gim_dkm_100h.ckpt (or LUSHNERF_DKM_CKPT env)
 
     # ---- TPU-native additions ----
     mesh_shape: str = ""  # e.g. "8" or "4,2"; empty = all local devices, 1D

@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-from lushnerf_tpu.ops.rays import HALF_PIX, get_rays
+from lushnerf_tpu.ops.rays import HALF_PIX, get_rays_np
 
 
 @dataclasses.dataclass
@@ -70,8 +70,8 @@ def build_ray_dataset(
 
     rays_list = []
     for p in poses[:, :3, :4]:
-        ro, rd = get_rays(hei, wid, K, p)
-        rays_list.append(np.stack([np.asarray(ro), np.asarray(rd)], axis=-1))  # [H, W, 3, 2]
+        ro, rd = get_rays_np(hei, wid, K, p)  # host numpy — no device trips
+        rays_list.append(np.stack([ro, rd], axis=-1))  # [H, W, 3, 2]
     rays = np.stack(rays_list, 0).reshape(-1, 3, 2).astype(np.float32)
 
     xs, ys = np.meshgrid(np.arange(wid, dtype=np.float32), np.arange(hei, dtype=np.float32), indexing="xy")

@@ -109,8 +109,16 @@ def build_match_tables(matcher: Matcher, images: np.ndarray) -> MatchTables:
             k0, k1, c = matcher.match(images[k], images[v])
             if first is None:
                 first = len(c)
-            row_k.append(np.concatenate([k0, k1], -1)[:first])
-            row_c.append(c[:first])
+            elif len(c) != first:
+                # a fixed-resolution matcher (DKM) always returns the same
+                # count; anything else would silently index-misalign the
+                # [V, V, P] tables, so fail loudly
+                raise ValueError(
+                    f"matcher returned {len(c)} columns for pair ({k},{v}), "
+                    f"expected {first} (all pairs must match in column count)"
+                )
+            row_k.append(np.concatenate([k0, k1], -1))
+            row_c.append(c)
         kpts_all.append(np.stack(row_k))
         cert_all.append(np.stack(row_c))
     return MatchTables(

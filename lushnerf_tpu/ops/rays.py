@@ -42,6 +42,31 @@ def get_rays(H: int, W: int, K, c2w):
     return rays_o, rays_d
 
 
+def get_rays_np(H: int, W: int, K, c2w):
+    """Host-side numpy twin of get_rays (reference get_rays_np,
+    utils/run_lushnerf_helpers.py:531-539) for the data pipeline — the
+    train-time ray precompute must never dispatch to (or read back from)
+    the accelerator."""
+    import numpy as np
+
+    K = np.asarray(K)
+    c2w = np.asarray(c2w)
+    i, j = np.meshgrid(
+        np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32), indexing="xy"
+    )
+    dirs = np.stack(
+        [
+            (i + (HALF_PIX - K[0, 2])) / K[0, 0],
+            -(j + (HALF_PIX - K[1, 2])) / K[1, 1],
+            -np.ones_like(i),
+        ],
+        axis=-1,
+    )
+    rays_d = np.einsum("hwk,ck->hwc", dirs, c2w[:3, :3])
+    rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
 def ndc_rays(H: int, W: int, focal: float, near: float, rays_o, rays_d):
     """Project rays to normalized device coordinates (forward-facing scenes)."""
     # Shift ray origins to the near plane.

@@ -151,3 +151,18 @@ def test_lindisp_z_matches_reference_formula():
     t = np.linspace(0, 1, 7)
     expect = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
     np.testing.assert_allclose(z, expect, rtol=1e-6)
+
+
+def test_get_rays_np_matches_jax():
+    """Host-pipeline numpy rays must equal the jitted get_rays exactly."""
+    import numpy as np
+    from lushnerf_tpu.ops.rays import get_rays, get_rays_np
+
+    K = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]], np.float32)
+    rng = np.random.default_rng(0)
+    c2w = np.concatenate([np.linalg.qr(rng.standard_normal((3, 3)))[0],
+                          rng.standard_normal((3, 1))], 1).astype(np.float32)
+    ro_j, rd_j = get_rays(24, 32, K, c2w)
+    ro_n, rd_n = get_rays_np(24, 32, K, c2w)
+    np.testing.assert_allclose(np.asarray(ro_j), ro_n, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rd_j), rd_n, rtol=1e-6, atol=1e-7)

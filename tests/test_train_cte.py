@@ -1,0 +1,151 @@
+"""Live CTE loop e2e: drives Trainer.train ACROSS noisenerf_start_iter so
+the consist=True jitted step, rematch(), and _sample_consist_batch all
+actually execute (reference behavior: run_lushnerf.py:629-650, 745-774).
+Round-1 gap: these trainer branches were dead under the old suite."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lushnerf_tpu.matcher.api import MatchTables, build_match_tables
+from lushnerf_tpu.train.losses import CONSIST_WEIGHT
+from lushnerf_tpu.train.trainer import Trainer
+
+from tests.test_train_e2e import synthetic_scene, tiny_config
+
+
+class StubMatcher:
+    """Deterministic grid matcher standing in for the frozen DKMv3."""
+
+    def __init__(self, H=16, W=16, n=40):
+        self.H, self.W, self.n = H, W, n
+        self.calls = 0
+
+    def match(self, img0, img1):
+        self.calls += 1
+        rng = np.random.default_rng(self.calls)
+        k0 = np.stack(
+            [rng.uniform(0, self.W, self.n), rng.uniform(0, self.H, self.n)], -1
+        ).astype(np.float32)
+        k1 = np.clip(k0 + rng.normal(0, 0.5, k0.shape), 0, self.W - 1).astype(np.float32)
+        cert = rng.uniform(0.5, 1.0, self.n).astype(np.float32)
+        return k0, k1, cert
+
+
+def test_cte_loop_live(tmp_path):
+    """Crossing noisenerf_start_iter: the consist step compiles and runs,
+    rematch() executes the matcher over every ordered train-view pair and
+    persists tables, and losses stay finite."""
+    cfg = tiny_config(
+        tmp_path,
+        kernel_start_iter=2,
+        allkernel_start_iter=4,
+        noisenerf_start_iter=6,
+        rematch_interval=8,
+        consist_num_pixels=8,
+        i_print=2,
+    )
+    stub = StubMatcher()
+    trainer = Trainer(cfg, data=synthetic_scene(), matcher=stub)
+    trainer.setup()
+    out = trainer.train(num_iters=10)
+
+    assert np.isfinite(out["loss"])
+    # the consist variant of the allkernel step really compiled + ran
+    assert "allkernel+consist" in trainer._step_fns
+    # rematch at i=8: all ordered pairs of the 3 train views
+    V = len(trainer.i_train)
+    assert stub.calls == V * V
+    assert (trainer.exp_dir / "match_tables_000008.npz").exists()
+    # tables now hold the stub's certainties (not the zero init)
+    assert trainer.match_tables.certainty.max() > 0
+    assert trainer.match_tables.kpts.shape[:2] == (V, V)
+
+
+def test_cte_weight_gate(tmp_path):
+    """The CTE term enters the loss strictly AFTER noisenerf_start_iter
+    (pass runs at >=, loss adds at >, run_lushnerf.py:629 vs :658)."""
+    cfg = tiny_config(tmp_path, noisenerf_start_iter=5, consist_num_pixels=4)
+    trainer = Trainer(cfg, data=synthetic_scene(), matcher=StubMatcher())
+    trainer.setup()
+    b5 = trainer._sample_consist_batch(5)
+    b6 = trainer._sample_consist_batch(6)
+    assert float(b5["weight"]) == 0.0
+    assert float(b6["weight"]) == pytest.approx(CONSIST_WEIGHT)
+
+
+def test_consist_step_gradient_flow(tmp_path):
+    """With confident tables, the consist term changes the parameter
+    update (scene MLP gets gradients through the aligned-pixel render)."""
+    cfg = tiny_config(
+        tmp_path, noisenerf_start_iter=1, consist_num_pixels=6, raw_noise_std=0.0
+    )
+    trainer = Trainer(cfg, data=synthetic_scene())
+    trainer.setup()
+    V = len(trainer.i_train)
+    # fully-confident synthetic tables with disagreeing pixels
+    rng = np.random.default_rng(0)
+    kpts = rng.uniform(0, 15, (V, V, 32, 4)).astype(np.float32)
+    trainer.match_tables = MatchTables(
+        kpts=kpts, certainty=np.ones((V, V, 32), np.float32)
+    )
+
+    batch_np = trainer.dataset.next_batch(cfg.N_rand, trainer.np_rng)
+    batch = {
+        "rays": jnp.asarray(batch_np["rays"]),
+        "rgbs": jnp.asarray(batch_np["rgbs"]),
+        "images_idx": jnp.asarray(batch_np["images_idx"]),
+        "fq_mask": jnp.asarray(batch_np["fq_mask"].astype(bool)),
+    }
+    consist = trainer._sample_consist_batch(2)
+    key = jax.random.PRNGKey(0)
+
+    loss_on, _ = trainer._loss_fn_consist(
+        trainer.params, batch, consist, key, "allkernel"
+    )
+    consist_off = dict(consist, weight=jnp.float32(0.0))
+    loss_off, _ = trainer._loss_fn_consist(
+        trainer.params, batch, consist_off, key, "allkernel"
+    )
+    assert float(loss_on) != float(loss_off)
+    # and the jitted consist step runs end-to-end
+    fn = trainer.step_fn("allkernel", consist=True)
+    params, opt_state, loss, mse = fn(
+        trainer.params, trainer.opt_state, batch, consist, key
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_dkm_fallback_weightless(tmp_path):
+    """cfg.matcher='dkm' without weights (the shipped configs in this
+    environment): setup warns, matcher stays None, training crosses
+    noisenerf_start_iter with zero tables = zero CTE contribution."""
+    cfg = tiny_config(
+        tmp_path, matcher="dkm", noisenerf_start_iter=3, consist_num_pixels=4
+    )
+    trainer = Trainer(cfg, data=synthetic_scene())
+    trainer.setup()
+    assert trainer._matcher is None
+    out = trainer.train(num_iters=5)
+    assert np.isfinite(out["loss"])
+    assert any(k.endswith("+consist") for k in trainer._step_fns)
+
+
+def test_build_match_tables_asserts_on_ragged(tmp_path):
+    """A matcher returning fewer columns for one pair must fail loudly
+    (round-1 weakness: silent [:first] truncation misaligned indices)."""
+
+    class RaggedMatcher:
+        def __init__(self):
+            self.n = iter([10, 10, 10, 7])
+
+        def match(self, a, b):
+            n = next(self.n)
+            z = np.zeros((n, 2), np.float32)
+            return z, z, np.ones(n, np.float32)
+
+    imgs = np.zeros((2, 8, 8, 3), np.float32)
+    with pytest.raises(ValueError, match="columns"):
+        build_match_tables(RaggedMatcher(), imgs)

@@ -45,6 +45,7 @@ def tiny_config(tmp_path, **overrides):
     base = dict(
         expname="test_exp",
         basedir=str(tmp_path / "logs"),
+        tbdir=str(tmp_path / "logs_tb"),
         N_rand=64,
         N_samples=18,  # > noise_sample_idx=16
         N_importance=6,
