@@ -76,12 +76,36 @@ def resnet50(pretrained=False, weights=None, replace_stride_with_dilation=None, 
     return ResNet()
 
 
+class AlexNet(nn.Module):
+    """torchvision.models.alexnet-compatible `.features` (indices 0-12),
+    for importing the vendored LPIPS trunk at random weights."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, stride=2),
+            nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, stride=2),
+            nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, stride=2),
+        )
+
+
+def alexnet(pretrained=False, weights=None, **kw):
+    assert not pretrained and weights is None, "stub has no pretrained weights"
+    return AlexNet()
+
+
 def install_tv_stub():
     if "torchvision" in sys.modules:
         return
     tv = types.ModuleType("torchvision")
     models = types.ModuleType("torchvision.models")
     models.resnet50 = resnet50
+    models.alexnet = alexnet
     models.resnet18 = lambda **kw: (_ for _ in ()).throw(NotImplementedError)
     models.resnet101 = models.resnet18
     models.wide_resnet50_2 = models.resnet18
