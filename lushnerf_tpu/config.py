@@ -137,6 +137,13 @@ class Config:
     # ---- TPU-native additions ----
     mesh_shape: str = ""  # e.g. "8" or "4,2"; empty = all local devices, 1D
     mesh_axes: str = "data"
+    # multi-host: bring up jax.distributed before touching devices.
+    # Empty coordinator_address = single-process (or env autodetection via
+    # JAX_COORDINATOR_ADDRESS); see parallel/distributed.py.
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
+    local_device_ids: str = ""  # e.g. "0" to pin one local device/process
     point_chunk: int = 65536  # remat chunk for MLP point eval (0 = off)
     ray_chunk_eval: int = 4096
     mlp_backend: str = "xla"  # 'xla' | 'pallas'

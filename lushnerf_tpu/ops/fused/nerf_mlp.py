@@ -21,12 +21,16 @@ Architecture fused (reference NeRF MLP, utils/run_lushnerf_helpers.py:
   out = [rgb, alpha]
 
 The positional encoding is computed INSIDE the kernel: the input is one
-packed [P, 8] array (lanes 0:3 = xyz, 3:6 = viewdir), and the PE lanes
-[x, sin(2^0 x), cos(2^0 x), ..., cos(2^(L-1) x)] (reference channel
-order, utils/run_lushnerf_helpers.py:311-361) are produced on the VPU by
-a 0/1 channel-selection matmul + per-lane frequency scale + masked
-sin/cos.  Staging PE'd inputs through HBM instead ([P, 128] f32 x 2 per
-pass) measurably cost more than the MLP matmuls themselves.
+packed [P, 8] array (lanes 0:3 = xyz, 3:6 = viewdir), and BOTH PE lanes
+blocks — [x, sin(2^0 x), cos(2^0 x), ..., cos(2^(L-1) x)] for xyz
+(reference channel order, utils/run_lushnerf_helpers.py:311-361) at
+lanes [0, 63) and the viewdir PE at lanes [63, 90) — are produced in ONE
+128-lane register by a 0/1 channel-selection matmul, a per-lane
+frequency scale, and a SINGLE sin() whose per-lane phase row turns cos
+lanes into sin(x + pi/2).  Staging PE'd inputs through HBM instead
+([P, 128] f32 x 2 per pass) measurably cost more than the MLP matmuls
+themselves, and so did evaluating sin and cos separately per PE (the
+4-transcendental variant spent more VPU time than ALL the MXU matmuls).
 
 The backward pass recomputes activations per tile (no [P, 256] residuals
 ever hit HBM), emits d(xyz)/d(dir) back through the PE, and accumulates
@@ -47,9 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 LANES = 128
-# Tile sized so the backward pass's recomputed activations (~12 arrays of
-# [tile, 256] f32) + resident weights (~3 MB) fit comfortably in VMEM.
-DEFAULT_TILE = 512
+# Tile swept on a v5e (scripts/tune_kernel.py): 1024 wins for fwd+bwd
+# (41 ms vs 47 ms at 512 / 45 ms at 2048 on the 983k-point step workload) —
+# the backward's recomputed activations (~12 arrays of [tile, 256] f32)
+# plus resident weights stay within the raised VMEM budget below.
+DEFAULT_TILE = 1024
+# Mosaic's default scoped-VMEM budget (16 MB) would cap the tile at 512 for
+# the backward pass; v5e/v4 have 128 MB VMEM per core, so raise the
+# per-kernel limit and let tiles grow (bigger tiles amortize per-tile
+# PE/VPU work and weight-grad accumulation against the MXU matmuls).
+VMEM_LIMIT = 100 * 1024 * 1024
 
 # number of padded parameter arrays in the flat tuple
 # order: W0, W1, W2, W3, W4, W5a, W5b, W6, W7, Wa, Wf, Wvf, Wvd, Wr,
@@ -94,7 +105,9 @@ def pad_params(params, width: int = 256) -> Tuple[jnp.ndarray, ...]:
         wf,  # Wf [W, W]
         # views layer input is [feat, d_pe] (helpers:409): feat rows first.
         _pad_to(wv[:W], W, LANES),  # Wvf [W, 128] (cols 0:Wh)
-        _pad_to(wv[W:], LANES, LANES),  # Wvd [128, 128] (rows 0:27, cols 0:Wh)
+        # Wvd rows live at the d-PE lane offset (in_ch) of the packed PE
+        # register; all other rows zero so the x-PE lanes contribute nothing
+        jnp.pad(wv[W:], ((in_ch, LANES - in_ch - d_ch), (0, LANES - wv.shape[1]))),
         _pad_to(wr, LANES, LANES),  # Wr [128, 128] (rows 0:Wh, cols 0:3)
         b0[None], pts[1][1][None], pts[2][1][None], pts[3][1][None], pts[4][1][None],
         b5[None], pts[6][1][None], pts[7][1][None],
@@ -115,7 +128,7 @@ def unpad_param_grads(grads: Tuple[jnp.ndarray, ...], params, width: int = 256):
     (gW0, gW1, gW2, gW3, gW4, gW5a, gW5b, gW6, gW7, gWa, gWf, gWvf, gWvd, gWr,
      gb0, gb1, gb2, gb3, gb4, gb5, gb6, gb7, gba, gbf, gbv, gbr) = grads
     g5 = jnp.concatenate([gW5a[:in_ch], gW5b], axis=0)
-    gv = jnp.concatenate([gWvf[:, :Wh], gWvd[:d_ch, :Wh]], axis=0)
+    gv = jnp.concatenate([gWvf[:, :Wh], gWvd[in_ch : in_ch + d_ch, :Wh]], axis=0)
     return {
         "pts": [
             (gW0[:in_ch], gb0[0]),
@@ -138,26 +151,34 @@ def unpad_param_grads(grads: Tuple[jnp.ndarray, ...], params, width: int = 256):
 # in-kernel positional encoding
 # ---------------------------------------------------------------------------
 
-# Packed PE-constant array layout (rows): Sx 0:8, Sd 8:16,
-# meta_x (freq/id/sin/cos) 16:20, meta_d 20:24; padded to 32 sublanes.
-PE_ROWS = 32
+# Packed PE-constant array layout (rows): S 0:8 (selection), then freq/
+# id-mask/trig-mask/phase rows 8:12; padded to 16 sublanes.
+#
+# Both PEs live in ONE 128-lane register: lanes [0, 63) hold the xyz PE,
+# lanes [63, 90) the viewdir PE (63 + 27 <= 128).  cos is computed as
+# sin(x + pi/2) via the per-lane phase row, so each tile pays exactly ONE
+# transcendental op in the forward pass (and one extra for its derivative
+# in the backward).  Measured motivation: with separate x/d arrays and
+# separate sin/cos calls, the PE cost (9.0 ms) exceeded ALL the MLP
+# matmuls (7.7 ms at 89% of v5e peak) — the kernel was VPU-transcendental
+# bound, not MXU bound.  The MLP weights see the packed layout through
+# zero rows: W0/W5a rows [63, 128) and Wvd rows outside [63, 90) are zero,
+# so the combined lanes contribute nothing to the wrong branch.
+PE_ROWS = 16
 XD_CH = 8  # packed input lanes: 0:3 xyz, 3:6 viewdir, 6:8 zero pad
+HALF_PI = float(np.pi / 2)
 
 
-def _pe_lane_tables(num_freqs: int, src_lo: int, dims: int = 3):
-    """Selection matrix + per-lane (freq, id, sin, cos) rows for one PE.
+def _pe_lane_tables(num_freqs: int, src_lo: int, lane_lo: int, sel, freq, idm,
+                    trig, phase, dims: int = 3):
+    """Fill selection/meta rows for one PE block at lane offset `lane_lo`.
 
     Lane order matches the reference embedder exactly
     (ops/encoding.py / utils/run_lushnerf_helpers.py:311-361):
     [x, sin(2^0 x), cos(2^0 x), ..., sin(2^(L-1) x), cos(2^(L-1) x)].
     """
     out_dim = dims + 2 * num_freqs * dims
-    assert out_dim <= LANES
-    sel = np.zeros((XD_CH, LANES), np.float32)
-    freq = np.zeros((1, LANES), np.float32)
-    idm = np.zeros((1, LANES), np.float32)
-    sinm = np.zeros((1, LANES), np.float32)
-    cosm = np.zeros((1, LANES), np.float32)
+    assert lane_lo + out_dim <= LANES
     for l in range(out_dim):
         if l < dims:
             c, f, kind = l, 1.0, "id"
@@ -165,17 +186,31 @@ def _pe_lane_tables(num_freqs: int, src_lo: int, dims: int = 3):
             j, r = divmod(l - dims, 2 * dims)
             c, f = r % dims, float(2.0**j)
             kind = "sin" if r < dims else "cos"
-        sel[src_lo + c, l] = 1.0
-        freq[0, l] = f
-        (idm if kind == "id" else sinm if kind == "sin" else cosm)[0, l] = 1.0
-    return sel, np.concatenate([freq, idm, sinm, cosm], axis=0)
+        lane = lane_lo + l
+        sel[src_lo + c, lane] = 1.0
+        freq[0, lane] = f
+        if kind == "id":
+            idm[0, lane] = 1.0
+        else:
+            trig[0, lane] = 1.0
+            phase[0, lane] = 0.0 if kind == "sin" else HALF_PI
+    return out_dim
+
+
+def pe_out_dims(num_freqs_x: int, num_freqs_d: int) -> Tuple[int, int]:
+    return 3 + 6 * num_freqs_x, 3 + 6 * num_freqs_d
 
 
 @functools.lru_cache(maxsize=None)
 def _pe_consts_np(num_freqs_x: int, num_freqs_d: int) -> np.ndarray:
-    sx, mx = _pe_lane_tables(num_freqs_x, 0)
-    sd, md = _pe_lane_tables(num_freqs_d, 3)
-    C = np.concatenate([sx, sd, mx, md], axis=0)
+    sel = np.zeros((XD_CH, LANES), np.float32)
+    freq = np.zeros((1, LANES), np.float32)
+    idm = np.zeros((1, LANES), np.float32)
+    trig = np.zeros((1, LANES), np.float32)
+    phase = np.zeros((1, LANES), np.float32)
+    dx = _pe_lane_tables(num_freqs_x, 0, 0, sel, freq, idm, trig, phase)
+    _pe_lane_tables(num_freqs_d, 3, dx, sel, freq, idm, trig, phase)
+    C = np.concatenate([sel, freq, idm, trig, phase], axis=0)
     return np.pad(C, ((0, PE_ROWS - C.shape[0]), (0, 0)))
 
 
@@ -200,29 +235,29 @@ def _sel_dot_t(a, b):
 
 
 def _pe_forward(xd, C):
-    """xd [T, 8] packed -> (xs, ds, x_pe, d_pe), each [T, 128].
+    """xd [T, 8] packed -> (xs, pe), each [T, 128].
 
-    xs/ds are the frequency-scaled selected coordinates (reused by the
-    backward pass to avoid re-running the selection matmuls).
+    xs is the frequency-scaled selected-coordinate array (reused by the
+    backward pass); pe packs [x_pe | d_pe | 0] in one 128-lane register.
+    ONE sin evaluation covers every sin AND cos lane (phase row = pi/2 on
+    cos lanes).
     """
-    Sx, Sd = C[0:XD_CH], C[XD_CH : 2 * XD_CH]
-    fx, ix, sx, cx = (C[16 + i : 17 + i] for i in range(4))
-    fd, id_, sd_, cd = (C[20 + i : 21 + i] for i in range(4))
-    xs = _sel_dot(xd, Sx) * fx
-    ds = _sel_dot(xd, Sd) * fd
-    x_pe = ix * xs + sx * jnp.sin(xs) + cx * jnp.cos(xs)
-    d_pe = id_ * ds + sd_ * jnp.sin(ds) + cd * jnp.cos(ds)
-    return xs, ds, x_pe, d_pe
+    S = C[0:XD_CH]
+    freq, idm, trig, phase = (C[XD_CH + i : XD_CH + i + 1] for i in range(4))
+    xs = _sel_dot(xd, S) * freq
+    pe = idm * xs + trig * jnp.sin(xs + phase)
+    return xs, pe
 
 
-def _pe_backward(xs, ds, C, g_x, g_d):
-    """Grads w.r.t. PE outputs [T, 128] -> grad w.r.t. packed xd [T, 8]."""
-    Sx, Sd = C[0:XD_CH], C[XD_CH : 2 * XD_CH]
-    fx, ix, sx, cx = (C[16 + i : 17 + i] for i in range(4))
-    fd, id_, sd_, cd = (C[20 + i : 21 + i] for i in range(4))
-    d_xs = (ix + sx * jnp.cos(xs) - cx * jnp.sin(xs)) * g_x * fx
-    d_ds = (id_ + sd_ * jnp.cos(ds) - cd * jnp.sin(ds)) * g_d * fd
-    return _sel_dot_t(d_xs, Sx) + _sel_dot_t(d_ds, Sd)
+def _pe_backward(xs, C, g):
+    """Grad w.r.t. the packed PE output [T, 128] -> grad w.r.t. xd [T, 8].
+
+    d/dx sin(x + phase) = sin(x + phase + pi/2) — one transcendental.
+    """
+    S = C[0:XD_CH]
+    freq, idm, trig, phase = (C[XD_CH + i : XD_CH + i + 1] for i in range(4))
+    d_xs = (idm + trig * jnp.sin(xs + phase + HALF_PI)) * g * freq
+    return _sel_dot_t(d_xs, S)
 
 
 # ---------------------------------------------------------------------------
@@ -249,23 +284,28 @@ def _make_dot(compute_dtype):
     )
 
 
-def _fwd_activations(x, d, w, compute_dtype=jnp.float32):
-    """Shared forward recurrence on one tile; returns all activations."""
+def _fwd_activations(pe, w, compute_dtype=jnp.float32):
+    """Shared forward recurrence on one tile; returns all activations.
+
+    pe: packed [T, 128] = [x_pe | d_pe | 0] — the x-only weights (W0, W5a)
+    carry zero rows on the d lanes and vice versa (Wvd), so one register
+    serves both MLP inputs exactly.
+    """
     (W0, W1, W2, W3, W4, W5a, W5b, W6, W7, Wa, Wf, Wvf, Wvd, Wr,
      b0, b1, b2, b3, b4, b5, b6, b7, ba, bf, bv, br) = w
     dot = _make_dot(compute_dtype)
     relu = lambda t: jnp.maximum(t, 0.0)
-    a0 = relu(dot(x, W0) + b0)
+    a0 = relu(dot(pe, W0) + b0)
     a1 = relu(dot(a0, W1) + b1)
     a2 = relu(dot(a1, W2) + b2)
     a3 = relu(dot(a2, W3) + b3)
     a4 = relu(dot(a3, W4) + b4)
-    a5 = relu(dot(x, W5a) + dot(a4, W5b) + b5)
+    a5 = relu(dot(pe, W5a) + dot(a4, W5b) + b5)
     a6 = relu(dot(a5, W6) + b6)
     a7 = relu(dot(a6, W7) + b7)
     alpha = dot(a7, Wa) + ba
     feat = dot(a7, Wf) + bf
-    hv = relu(dot(feat, Wvf) + dot(d, Wvd) + bv)
+    hv = relu(dot(feat, Wvf) + dot(pe, Wvd) + bv)
     rgb = dot(hv, Wr) + br
     return a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb
 
@@ -273,8 +313,8 @@ def _fwd_activations(x, d, w, compute_dtype=jnp.float32):
 def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32):
     w = tuple(r[...] for r in refs[:-1])
     out_ref = refs[-1]
-    _, _, x_pe, d_pe = _pe_forward(xd_ref[...], c_ref[...])
-    acts = _fwd_activations(x_pe, d_pe, w, compute_dtype)
+    _, pe = _pe_forward(xd_ref[...], c_ref[...])
+    acts = _fwd_activations(pe, w, compute_dtype)
     alpha, rgb = acts[8], acts[11]
     # out lanes: 0:3 rgb, 3 alpha (alpha lives in lane 0 of its buffer)
     out = jnp.concatenate(
@@ -299,6 +339,7 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
         in_specs=specs_in + w_specs,
         out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, LANES), F32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(xd, C, *w)
     return out
 
@@ -316,9 +357,9 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
 
     C = c_ref[...]
     g = g_ref[...]
-    xs, ds, x, d = _pe_forward(xd_ref[...], C)
+    xs, pe = _pe_forward(xd_ref[...], C)
     a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb = _fwd_activations(
-        x, d, w, compute_dtype
+        pe, w, compute_dtype
     )
 
     cd = jnp.dtype(compute_dtype)
@@ -340,7 +381,6 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
 
     d_hv = dBT(g_rgb, Wr) * relu_m(hv)
     d_feat = dBT(d_hv, Wvf)
-    d_d = dBT(d_hv, Wvd)
     d_a7 = dBT(d_feat, Wf) + dBT(g_alpha, Wa)
     d_z7 = d_a7 * relu_m(a7)
     d_a6 = dBT(d_z7, W7)
@@ -357,30 +397,32 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
     d_z1 = d_a1 * relu_m(a1)
     d_a0 = dBT(d_z1, W1)
     d_z0 = d_a0 * relu_m(a0)
-    d_x = dBT(d_z0, W0) + dBT(d_z5, W5a)
+    # all three PE consumers feed ONE packed-lane gradient (the x-only /
+    # d-only weights have zero rows on the other block's lanes)
+    d_pe = dBT(d_z0, W0) + dBT(d_z5, W5a) + dBT(d_hv, Wvd)
 
     sum0 = lambda t: jnp.sum(t, axis=0, keepdims=True)
     grads = (
-        dotT(x, d_z0),  # dW0
+        dotT(pe, d_z0),  # dW0
         dotT(a0, d_z1),
         dotT(a1, d_z2),
         dotT(a2, d_z3),
         dotT(a3, d_z4),
-        dotT(x, d_z5),  # dW5a
+        dotT(pe, d_z5),  # dW5a
         dotT(a4, d_z5),  # dW5b
         dotT(a5, d_z6),
         dotT(a6, d_z7),
         dotT(a7, g_alpha),  # dWa
         dotT(a7, d_feat),  # dWf
         dotT(feat, d_hv),  # dWvf
-        dotT(d, d_hv),  # dWvd
+        dotT(pe, d_hv),  # dWvd
         dotT(hv, g_rgb),  # dWr
         sum0(d_z0), sum0(d_z1), sum0(d_z2), sum0(d_z3), sum0(d_z4),
         sum0(d_z5), sum0(d_z6), sum0(d_z7),
         sum0(g_alpha), sum0(d_feat), sum0(d_hv), sum0(g_rgb),
     )
 
-    out_refs[0][...] = _pe_backward(xs, ds, C, d_x, d_d)
+    out_refs[0][...] = _pe_backward(xs, C, d_pe)
 
     first = pl.program_id(0) == 0
     for gr, ref in zip(grads, out_refs[1:]):
@@ -415,6 +457,7 @@ def _bwd_call(w, xd, g, tile: int, compute_dtype=jnp.float32,
         in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), tile_spec] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(xd, C, g, *w)
     return outs[0], tuple(outs[1:])
 
@@ -460,8 +503,8 @@ def supports(mlp_cfg, render_cfg) -> bool:
         and tuple(mlp_cfg.skips) == (4,)
         and mlp_cfg.use_viewdirs
         and not mlp_cfg.rgb_only
-        and mlp_cfg.input_ch <= LANES
-        and mlp_cfg.input_ch_views <= LANES
+        # both PEs share one 128-lane register (63 + 27 for the reference)
+        and mlp_cfg.input_ch + mlp_cfg.input_ch_views <= LANES
     )
 
 

@@ -39,6 +39,7 @@ from lushnerf_tpu.models.lushnerf import (
     render_image,
 )
 from lushnerf_tpu.matcher.api import MatchTables, build_match_tables
+from lushnerf_tpu.parallel import distributed as dist
 from lushnerf_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from lushnerf_tpu.train import checkpoint as ckpt_lib
 from lushnerf_tpu.train.consistency import render_aligned_pixels
@@ -171,7 +172,22 @@ class Trainer:
             np.arange(n)[self.i_train],
             full_hw=(self.H, self.W),
         )
-        self.np_rng = np.random.default_rng(cfg.seed)
+        # multi-host: each process keeps a stripe of the ray tensor and
+        # draws N_rand/process_count rays per step; the global batch stays
+        # N_rand (parallel/distributed.py).  Per-process data RNG streams;
+        # a separate, process-identical stream for consist sampling (that
+        # batch is replicated, so every host must draw the same columns).
+        self.pid, self.pcount = dist.process_index(), dist.process_count()
+        if self.pcount > 1:
+            assert cfg.N_rand % self.pcount == 0, (
+                f"N_rand={cfg.N_rand} must divide by process_count={self.pcount}"
+            )
+            self.dataset = dist.shard_dataset(self.dataset)
+            self.np_rng = np.random.default_rng([cfg.seed, self.pid])
+        else:
+            self.np_rng = np.random.default_rng(cfg.seed)
+        self.local_n_rand = cfg.N_rand // self.pcount
+        self.consist_rng = np.random.default_rng([cfg.seed, 7919])
         self.dataset.shuffle(self.np_rng)
 
         # params + optimizer.  Init on the host CPU backend: dispatching
@@ -244,15 +260,16 @@ class Trainer:
         self.metrics_file = self.exp_dir / "test_metrics.txt"
         self.log_file = self.exp_dir / "scalars.jsonl"
         # TensorBoard events at <tbdir>/<expname> (run_lushnerf.py:312) via
-        # the native writer — tbdir='' disables
+        # the native writer — tbdir='' disables; primary process only
         self.tb = None
-        if cfg.tbdir:
+        if cfg.tbdir and dist.is_primary():
             from lushnerf_tpu.utils.tb_writer import SummaryWriter
 
             self.tb = SummaryWriter(Path(cfg.tbdir) / cfg.expname)
-        (self.exp_dir / "args.txt").write_text(
-            "\n".join(f"{k} = {getattr(cfg, k)}" for k in sorted(cfg.field_names()))
-        )
+        if dist.is_primary():
+            (self.exp_dir / "args.txt").write_text(
+                "\n".join(f"{k} = {getattr(cfg, k)}" for k in sorted(cfg.field_names()))
+            )
         self._setup_done = True
 
     # ------------------------------------------------------------------
@@ -338,14 +355,17 @@ class Trainer:
         t0 = time.time()
         loss_v = psnr_v = float("nan")
         last_log_t, last_log_i = t0, self.start_step
+        batch_sh = batch_sharding(self.mesh)
         for i in range(self.start_step + 1, n_iters):
-            batch_np = self.dataset.next_batch(cfg.N_rand, self.np_rng)
-            batch = {
-                "rays": jnp.asarray(batch_np["rays"]),
-                "rgbs": jnp.asarray(batch_np["rgbs"]),
-                "images_idx": jnp.asarray(batch_np["images_idx"]),
-                "fq_mask": jnp.asarray(batch_np["fq_mask"].astype(bool)),
-            }
+            # each process contributes N_rand/process_count rays of the
+            # global batch; single-process this is a plain device_put
+            batch_np = self.dataset.next_batch(self.local_n_rand, self.np_rng)
+            batch = dist.make_global_batch(batch_sh, {
+                "rays": batch_np["rays"],
+                "rgbs": batch_np["rgbs"],
+                "images_idx": batch_np["images_idx"],
+                "fq_mask": batch_np["fq_mask"].astype(bool),
+            })
             stage = stage_for_iter(
                 i, cfg.kernel_start_iter, cfg.allkernel_start_iter, cfg.blur_model_type
             )
@@ -369,7 +389,7 @@ class Trainer:
             ):
                 self.rematch(i)
 
-            if i % cfg.i_weights == 0:
+            if i % cfg.i_weights == 0 and dist.is_primary():
                 ckpt_lib.save_checkpoint(self.exp_dir, i, self.params, self.opt_state)
 
             if i % cfg.i_testset == 0 and i > 0:
@@ -378,7 +398,7 @@ class Trainer:
             if cfg.debug_nan_check:
                 self._guard_finite(i, loss)
 
-            if i % cfg.i_print == 0:
+            if i % cfg.i_print == 0 and dist.is_primary():
                 loss_v = float(loss)
                 psnr_v = float(mse2psnr(mse))
                 if not np.isfinite(loss_v):
@@ -445,18 +465,36 @@ class Trainer:
             "weight": jnp.float32(weight),
         }
 
+    def _render_poses_striped(self, poses):
+        """Render a pose list, striped across processes and reassembled
+        (identical [N, H, W, 3] rgb/noise stacks on every process).
+        Single-process this is a plain serial loop."""
+        n = len(poses)
+        idxs = dist.stripe_indices(n)
+        per = -(-n // self.pcount)
+        rgb_l = np.zeros((per, self.H_eval, self.W_eval, 3), np.float32)
+        noise_l = np.zeros((per, self.H_eval, self.W_eval, 3), np.float32)
+        for j, vi in enumerate(idxs):
+            rgb, noise_img, _ = self.render_pose(poses[vi])
+            rgb_l[j] = np.asarray(rgb)
+            noise_l[j] = np.asarray(noise_img)
+        rgbs = dist.allgather_stack(rgb_l, n)
+        noises = dist.allgather_stack(noise_l, n)
+        return rgbs, noises
+
     def rematch(self, i: int):
         """Re-run the matcher over freshly rendered training views
-        (run_lushnerf.py:745-774 — without the PNG disk roundtrip)."""
-        renders = []
-        for vi in self.i_train:
-            rgb, _, _ = self.render_pose(self.poses[vi])
-            renders.append(np.asarray(rgb))
-        self.match_tables = build_match_tables(self._matcher, np.stack(renders))
+        (run_lushnerf.py:745-774 — without the PNG disk roundtrip).
+        Renders stripe across processes and reassemble identically on every
+        host; each host then runs the (deterministic, frozen) matcher on
+        the same gathered stack, so the tables agree without a broadcast."""
+        renders, _ = self._render_poses_striped(self.poses[self.i_train])
+        self.match_tables = build_match_tables(self._matcher, renders)
         if self.H_eval != self.H:  # matched at eval res -> full-res pixel coords
             s = np.array([self.W / self.W_eval, self.H / self.H_eval] * 2, np.float32)
             self.match_tables.kpts *= s
-        self.match_tables.save(self.exp_dir / f"match_tables_{i:06d}.npz")
+        if dist.is_primary():
+            self.match_tables.save(self.exp_dir / f"match_tables_{i:06d}.npz")
 
     # ------------------------------------------------------------------
     # evaluation
@@ -487,19 +525,15 @@ class Trainer:
         import imageio.v2 as imageio
 
         out_dir = self.exp_dir / f"testset_{i:06d}"
-        out_dir.mkdir(parents=True, exist_ok=True)
-        rgbs = []
-        for vi, pose in enumerate(self.poses):
-            rgb, noise_img, _ = self.render_pose(pose)
-            rgb = np.asarray(rgb)
-            noise = np.asarray(noise_img)
-            rgbs.append(rgb)
-            if save:
-                to8 = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+        if dist.is_primary():
+            out_dir.mkdir(parents=True, exist_ok=True)
+        rgbs, noises = self._render_poses_striped(self.poses)
+        if save and dist.is_primary():
+            to8 = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+            for vi, (rgb, noise) in enumerate(zip(rgbs, noises)):
                 imageio.imwrite(out_dir / f"{vi:03d}.png", to8(rgb))
                 imageio.imwrite(out_dir / f"{vi:03d}_noise.png", to8(noise))
                 imageio.imwrite(out_dir / f"{vi:03d}_blur.png", to8(rgb + noise))
-        rgbs = np.stack(rgbs)
 
         test_rgbs = rgbs[self.i_test]
         gt = self.images[self.i_test]

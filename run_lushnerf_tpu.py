@@ -17,6 +17,15 @@ from lushnerf_tpu.train.trainer import Trainer
 
 def main(argv=None):
     cfg = Config.from_args(argv if argv is not None else sys.argv[1:])
+    # multi-host: must run before any device access (parallel/distributed.py)
+    from lushnerf_tpu.parallel import distributed as dist
+
+    if dist.initialize(cfg.coordinator_address, cfg.num_processes,
+                       cfg.process_id, cfg.local_device_ids):
+        import jax
+
+        print(f"[dist] process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local / {jax.device_count()} global devices")
     trainer = Trainer(cfg)
     trainer.setup()
     if cfg.save_warped_ray_img:

@@ -1,0 +1,82 @@
+"""Multi-process (virtual multi-host) execution test.
+
+SURVEY.md §2.4 / VERDICT r01 item 4: the TPU-native replacement for the
+reference's (unused) gluefactory DDP path is `jax.distributed.initialize`
++ per-process ray sharding + process_allgather eval assembly.  The
+reference has no analog of this test (its DDP is only runnable on a real
+multi-GPU node, gim/gluefactory/train.py:241); here we validate the full
+multi-host path with 2 local processes x 2 virtual CPU devices = a global
+4-device ('data',) mesh:
+
+  * distributed runtime init + global device visibility
+  * per-process dataset striping and `make_array_from_process_local_data`
+    global batches (only local shards addressable)
+  * sharded train steps whose psum-averaged grads keep params bit-identical
+    across processes
+  * striped eval render reassembled with process_allgather, metrics equal
+    on every process
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    n = 2
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    for pid in range(n):
+        out = tmp_path / f"out_{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+                 coordinator, str(n), str(pid), str(out), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=REPO,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 4
+        assert r["local_devices"] == 2
+    # psum-averaged grads => identical replicated params on every process
+    assert results[0]["fingerprint"] == pytest.approx(
+        results[1]["fingerprint"], rel=1e-6
+    )
+    # process_allgather'ed eval => identical metrics everywhere
+    assert results[0]["eval_mse"] == pytest.approx(results[1]["eval_mse"], rel=1e-5)
+    assert np.isfinite(results[0]["eval_psnr"])
