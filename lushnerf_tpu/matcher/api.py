@@ -97,31 +97,44 @@ class PrecomputedMatcher:
         )
 
 
+def match_pairs(matcher: Matcher, images: np.ndarray, pairs):
+    """Run the matcher over an explicit list of ordered (k, v) view pairs.
+
+    Returns (kpts [n_pairs, P, 4], certainty [n_pairs, P]).  This is the
+    work unit for striping a rematch across processes: each host matches
+    its subset of the V*V pairs and the results are allgathered back into
+    full [V, V, ...] tables (trainer.rematch)."""
+    first = None
+    kpts_l, cert_l = [], []
+    for (k, v) in pairs:
+        k0, k1, c = matcher.match(images[k], images[v])
+        if first is None:
+            first = len(c)
+        elif len(c) != first:
+            # a fixed-resolution matcher (DKM) always returns the same
+            # count; anything else would silently index-misalign the
+            # [V, V, P] tables, so fail loudly
+            raise ValueError(
+                f"matcher returned {len(c)} columns for pair ({k},{v}), "
+                f"expected {first} (all pairs must match in column count)"
+            )
+        kpts_l.append(np.concatenate([k0, k1], -1))
+        cert_l.append(c)
+    return (
+        np.stack(kpts_l).astype(np.float32),
+        np.stack(cert_l).astype(np.float32),
+    )
+
+
 def build_match_tables(matcher: Matcher, images: np.ndarray) -> MatchTables:
     """Run the matcher over every ordered view pair (the reference's
-    rematch pass, run_lushnerf.py:747-774)."""
+    rematch pass, run_lushnerf.py:747-774).  Single-process path; the
+    trainer stripes the pair loop across hosts via match_pairs."""
     V = images.shape[0]
-    first = None
-    kpts_all, cert_all = [], []
-    for k in range(V):
-        row_k, row_c = [], []
-        for v in range(V):
-            k0, k1, c = matcher.match(images[k], images[v])
-            if first is None:
-                first = len(c)
-            elif len(c) != first:
-                # a fixed-resolution matcher (DKM) always returns the same
-                # count; anything else would silently index-misalign the
-                # [V, V, P] tables, so fail loudly
-                raise ValueError(
-                    f"matcher returned {len(c)} columns for pair ({k},{v}), "
-                    f"expected {first} (all pairs must match in column count)"
-                )
-            row_k.append(np.concatenate([k0, k1], -1))
-            row_c.append(c)
-        kpts_all.append(np.stack(row_k))
-        cert_all.append(np.stack(row_c))
+    pairs = [(k, v) for k in range(V) for v in range(V)]
+    kpts, cert = match_pairs(matcher, images, pairs)
+    P = kpts.shape[1]
     return MatchTables(
-        kpts=np.stack(kpts_all).astype(np.float32),
-        certainty=np.stack(cert_all).astype(np.float32),
+        kpts=kpts.reshape(V, V, P, 4),
+        certainty=cert.reshape(V, V, P),
     )

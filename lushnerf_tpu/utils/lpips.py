@@ -72,6 +72,18 @@ def load_weights(alex_path: Optional[str] = None, linear_path: Optional[str] = N
         for i in range(5):
             lins.append(jnp.asarray(lsd[f"lin{i}.model.1.weight"].numpy()[:, :, 0, 0]))  # [1, C]
     else:
+        # uniform calibration heads are NOT the published LPIPS metric —
+        # scores are comparable within a run but not against the paper's.
+        # Warn loudly so a partial configuration can't silently change the
+        # metric (VERDICT r2 weak #8).
+        import warnings
+
+        warnings.warn(
+            "LPIPS linear calibration weights not found "
+            "(set LPIPS_LINEAR_PATH); falling back to uniform per-channel "
+            "weights — values are not comparable to published LPIPS numbers",
+            stacklevel=2,
+        )
         lins = [jnp.ones((1, c), jnp.float32) / c for c in _STAGE_CHANNELS]
     return {"convs": convs, "lins": lins}
 

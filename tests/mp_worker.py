@@ -2,9 +2,10 @@
 
 Launched twice by tests/test_multihost.py with a shared coordinator
 address.  Each process gets 2 virtual CPU devices -> a global 4-device
-('data',) mesh across 2 processes; runs a few sharded train steps on the
-synthetic scene plus a striped eval, and dumps results as JSON for the
-parent to cross-check.
+('data',) mesh across 2 processes; trains ACROSS noisenerf_start_iter so
+the replicated consist batch (process-identical consist_rng), the striped
+V*V rematch + allgather, and the resume-state broadcast all execute, plus
+a striped eval; dumps results as JSON for the parent to cross-check.
 
 Usage: python tests/mp_worker.py <coordinator> <num_procs> <pid> <outfile> <basedir>
 """
@@ -18,6 +19,26 @@ os.environ["XLA_FLAGS"] = (
 )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class StubMatcher:
+    """Deterministic pure function of the image CONTENT (not call order):
+    in a striped rematch each process matches different pairs, so only a
+    content-keyed stub yields tables that must agree after the allgather."""
+
+    def match(self, img0, img1):
+        import numpy as np
+
+        n = 12
+        h, w = img0.shape[:2]
+        seed = int(abs(float(img0.sum()) * 1e4 + float(img1.sum()) * 7.0)) % (2**31)
+        rng = np.random.default_rng(seed)
+        k0 = np.stack(
+            [rng.uniform(0, w - 1, n), rng.uniform(0, h - 1, n)], -1
+        ).astype(np.float32)
+        k1 = np.clip(k0 + rng.normal(0, 0.5, k0.shape), 0, w - 1).astype(np.float32)
+        cert = rng.uniform(0.5, 1.0, n).astype(np.float32)
+        return k0, k1, cert
 
 
 def main():
@@ -50,9 +71,11 @@ def main():
         def __truediv__(self, other):
             return os.path.join(basedir, f"p{pid}", other)
 
-    cfg = tiny_config(_P(), N_rand=32, i_testset=6, i_print=2, llffhold=4,
-                      tbdir="")
-    trainer = Trainer(cfg, data=synthetic_scene())
+    cfg = tiny_config(_P(), N_rand=32, i_testset=10**9, i_print=2, llffhold=4,
+                      tbdir="", kernel_start_iter=2, allkernel_start_iter=3,
+                      noisenerf_start_iter=4, rematch_interval=6,
+                      consist_num_pixels=8)
+    trainer = Trainer(cfg, data=synthetic_scene(), matcher=StubMatcher())
     trainer.setup()
 
     # dataset must be striped per process (train views only, llffhold split)
@@ -64,20 +87,39 @@ def main():
     from lushnerf_tpu.parallel.mesh import batch_sharding
 
     b_np = trainer.dataset.next_batch(trainer.local_n_rand, trainer.np_rng)
-    gb = dist.make_global_batch(batch_sharding(trainer.mesh), {"rays": b_np["rays"]})
+    gb = dist.make_global_batch(batch_sharding(trainer.mesh), {
+        "rays": b_np["rays"],
+        "rgbs": b_np["rgbs"],
+        "images_idx": b_np["images_idx"],
+        "fq_mask": b_np["fq_mask"].astype(bool),
+    })
     assert gb["rays"].shape[0] == cfg.N_rand
     assert len(gb["rays"].addressable_shards) == 2  # local devices only
 
     # the jitted step must contain a cross-device all-reduce for the grads
     fn = trainer.step_fn("naive")
-    out = trainer.train(num_iters=6)
+    hlo = fn.lower(
+        trainer.params, trainer.opt_state, gb, jax.random.PRNGKey(0)
+    ).compile().as_text()
+    assert "all-reduce" in hlo, "sharded step compiled without a grad all-reduce"
+
+    # train across the CTE gate: consist steps at i>=4, striped rematch at
+    # i=6 (each host matches its stripe of the 3x3 ordered view pairs; the
+    # allgathered tables must agree across hosts)
+    out = trainer.train(num_iters=8)
+    assert any(k.endswith("+consist") for k in trainer._step_fns), (
+        "consist step never compiled; the CTE gate was not crossed"
+    )
+    assert trainer.match_tables.certainty.max() > 0, "rematch left zero tables"
 
     # params identical across processes after psum-averaged grads:
     # fingerprint them
     leaves = jax.tree_util.tree_leaves(trainer.params)
     fingerprint = float(sum(float(jax.numpy.sum(l)) for l in leaves))
+    tables_sum = float(np.float64(trainer.match_tables.kpts).sum()
+                       + np.float64(trainer.match_tables.certainty).sum())
 
-    ev = trainer.eval_testset(7, save=False)
+    ev = trainer.eval_testset(9, save=False)
 
     json.dump(
         {
@@ -87,6 +129,7 @@ def main():
             "local_devices": jax.local_device_count(),
             "loss": out["loss"],
             "fingerprint": fingerprint,
+            "tables_sum": tables_sum,
             "eval_psnr": float(ev["psnr"]),
             "eval_mse": float(ev["mse"]),
         },

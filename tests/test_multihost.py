@@ -73,10 +73,15 @@ def test_two_process_training(tmp_path):
         assert r["process_count"] == 2
         assert r["global_devices"] == 4
         assert r["local_devices"] == 2
-    # psum-averaged grads => identical replicated params on every process
+    # psum-averaged grads => identical replicated params on every process —
+    # including through consist steps (replicated consist batch drawn from
+    # the process-identical consist_rng) and a striped rematch
     assert results[0]["fingerprint"] == pytest.approx(
         results[1]["fingerprint"], rel=1e-6
     )
+    # striped V*V rematch + allgather => identical match tables everywhere
+    assert results[0]["tables_sum"] == pytest.approx(results[1]["tables_sum"])
+    assert results[0]["tables_sum"] != 0.0
     # process_allgather'ed eval => identical metrics everywhere
     assert results[0]["eval_mse"] == pytest.approx(results[1]["eval_mse"], rel=1e-5)
     assert np.isfinite(results[0]["eval_psnr"])

@@ -118,6 +118,35 @@ def test_consist_step_gradient_flow(tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_match_tables_reload_on_resume(tmp_path):
+    """Resume reloads the latest persisted match tables (deliberate fix of
+    the reference quirk: run_lushnerf.py never checkpoints Align_Matrix, so
+    a restart trains with zero CTE until the next rematch boundary)."""
+    from lushnerf_tpu.train import checkpoint as ckpt_lib
+
+    mk = lambda: tiny_config(
+        tmp_path,
+        kernel_start_iter=2,
+        allkernel_start_iter=3,
+        noisenerf_start_iter=4,
+        rematch_interval=6,
+        consist_num_pixels=8,
+    )
+    trainer = Trainer(mk(), data=synthetic_scene(), matcher=StubMatcher())
+    trainer.setup()
+    trainer.train(num_iters=8)  # rematch at i=6 persists tables
+    assert (trainer.exp_dir / "match_tables_000006.npz").exists()
+    ckpt_lib.save_checkpoint(trainer.exp_dir, 8, trainer.params, trainer.opt_state)
+
+    trainer2 = Trainer(mk(), data=synthetic_scene(), matcher=StubMatcher())
+    trainer2.setup()
+    assert trainer2.start_step == 8
+    assert trainer2.match_tables.certainty.max() > 0
+    np.testing.assert_array_equal(
+        trainer2.match_tables.kpts, trainer.match_tables.kpts
+    )
+
+
 def test_dkm_fallback_weightless(tmp_path):
     """cfg.matcher='dkm' without weights (the shipped configs in this
     environment): setup warns, matcher stays None, training crosses

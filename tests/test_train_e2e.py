@@ -146,6 +146,19 @@ def test_eval_testset_and_render(tmp_path):
     assert (trainer.exp_dir / "testset_000001" / "000.png").exists()
 
 
+def test_render_only_render_test_with_render_factor(tmp_path):
+    """render_only --render_test under render_factor>1 must compare the
+    downsampled renders against GT resized to the same resolution
+    (VERDICT r2 weak #5: previously a shape mismatch)."""
+    cfg = tiny_config(tmp_path, render_factor=2)
+    trainer = Trainer(cfg, data=synthetic_scene())
+    trainer.setup()
+    assert (trainer.H_eval, trainer.W_eval) == (8, 8)
+    res = trainer.render_only(render_test=True)
+    assert np.isfinite(res["psnr"])
+    assert -1 <= res["ssim"] <= 1
+
+
 def test_batch_sharding_over_mesh(tmp_path):
     """The jitted step runs with the batch sharded over all 8 CPU devices."""
     assert jax.device_count() == 8
