@@ -130,7 +130,7 @@ class Config:
     consist_threshold: float = 0.8
     consist_num_pixels: int = 32
     rematch_interval: int = 20000
-    matcher: str = "none"  # 'none' | 'precomputed' | 'dkm'
+    matcher: str = "none"  # 'none' | 'precomputed' | 'dkm' | 'stub'
     match_table_path: str = ""
     dkm_ckpt_path: str = ""  # gim_dkm_100h.ckpt (or LUSHNERF_DKM_CKPT env)
 

@@ -84,6 +84,32 @@ class Matcher(Protocol):
 
 
 @dataclasses.dataclass
+class GridStubMatcher:
+    """Identity-grid matcher for dry runs and scale tests (config
+    `matcher = stub`).
+
+    Returns a uniform pixel grid matched to the SAME coordinates in the
+    other view with constant certainty.  For small-baseline forward-facing
+    bursts this approximates the true correspondence (parallax of a few
+    pixels), so the CTE loss becomes a mild cross-view color-consistency
+    prior — enough to exercise the full consist/rematch machinery at
+    scale without pretrained DKM weights.  Deterministic and
+    content-independent, hence trivially identical across hosts."""
+
+    n_points: int = 256
+    certainty: float = 0.9
+
+    def match(self, img0, img1):
+        h, w = img0.shape[:2]
+        g = int(np.ceil(np.sqrt(self.n_points)))
+        xs = (np.arange(g) + 0.5) * w / g
+        ys = (np.arange(g) + 0.5) * h / g
+        gx, gy = np.meshgrid(xs, ys)
+        k0 = np.stack([gx.ravel(), gy.ravel()], -1)[: self.n_points].astype(np.float32)
+        return k0, k0.copy(), np.full(self.n_points, self.certainty, np.float32)
+
+
+@dataclasses.dataclass
 class PrecomputedMatcher:
     """Serves matches from precomputed tables (frozen-matcher semantics)."""
 

@@ -274,6 +274,12 @@ class Trainer:
                  "certainty": self.match_tables.certainty}
             )
             self.match_tables = MatchTables(arrs["kpts"], arrs["certainty"])
+        if self._matcher is None and cfg.matcher == "stub":
+            # deterministic identity-grid matcher: full CTE machinery live
+            # without pretrained weights (scale tests / dry runs)
+            from lushnerf_tpu.matcher.api import GridStubMatcher
+
+            self._matcher = GridStubMatcher()
         if self._matcher is None and cfg.matcher == "dkm":
             from lushnerf_tpu.matcher.dkm import DKMMatcher
 

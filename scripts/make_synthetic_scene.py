@@ -1,0 +1,236 @@
+"""Generate a synthetic low-light LLFF scene for end-to-end training runs.
+
+A real 3D scene (Lambertian spheres + floor + checkerboard back wall) is
+ray-traced from N forward-facing cameras with genuine parallax, then
+degraded the way the LOL-BlurNeRF captures are degraded
+(/root/reference/README dataset description): darkened (low light),
+directionally motion-blurred (handheld shake, per-image direction), and
+noised (sensor noise).  Output is LLFF on-disk format — `images/*.png` +
+`poses_bounds.npy` ([N,17], reference data_utils/load_llff.py:146-149) —
+plus `gt/*.png` with the clean bright frames for visual comparison.
+
+The renderer uses the EXACT ray convention of lushnerf_tpu.ops.rays
+(half-pixel offset, y-flip, -z forward), and the pose writer inverts the
+loader's column swap (load_llff.py:342 in the reference; data/llff.py:266
+here), so the scene is geometrically consistent with the training
+pipeline end to end.
+
+Usage: python scripts/make_synthetic_scene.py <outdir> [--n 20] [--res 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# scene definition
+# ---------------------------------------------------------------------------
+
+SPHERES = [  # center, radius, albedo
+    (np.array([-1.1, 0.25, -3.0]), 0.60, np.array([0.85, 0.25, 0.20])),
+    (np.array([0.75, -0.45, -3.8]), 0.70, np.array([0.20, 0.55, 0.90])),
+    (np.array([-0.1, 0.85, -4.6]), 0.80, np.array([0.95, 0.80, 0.25])),
+    (np.array([1.45, 0.95, -5.2]), 0.55, np.array([0.45, 0.85, 0.40])),
+    (np.array([0.2, -0.15, -2.4]), 0.28, np.array([0.80, 0.40, 0.85])),
+]
+FLOOR_Y = -1.4
+BACK_Z = -7.0
+LIGHT = np.array([0.35, 0.75, 0.55]) / np.linalg.norm([0.35, 0.75, 0.55])
+
+
+def _shade(points, normals, albedo):
+    lam = np.clip(np.einsum("...k,k->...", normals, LIGHT), 0.0, 1.0)
+    return albedo * (0.30 + 0.70 * lam[..., None])
+
+
+def trace(rays_o, rays_d):
+    """Nearest-hit ray trace.  rays_o/rays_d: [..., 3] -> rgb [..., 3]."""
+    sh = rays_o.shape[:-1]
+    o = rays_o.reshape(-1, 3)
+    d = rays_d.reshape(-1, 3)
+    best_t = np.full(o.shape[0], np.inf)
+    rgb = np.zeros((o.shape[0], 3))
+
+    # spheres
+    for c, r, alb in SPHERES:
+        oc = o - c
+        b = np.einsum("nk,nk->n", oc, d)
+        cc = np.einsum("nk,nk->n", oc, oc) - r * r
+        disc = b * b - np.einsum("nk,nk->n", d, d) * cc
+        hit = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        dd = np.einsum("nk,nk->n", d, d)
+        t = (-b - sq) / dd
+        ok = hit & (t > 1e-3) & (t < best_t)
+        p = o[ok] + t[ok, None] * d[ok]
+        n = (p - c) / r
+        rgb[ok] = _shade(p, n, alb)
+        best_t[ok] = t[ok]
+
+    # floor plane y = FLOOR_Y (checker in x/z)
+    ty = (FLOOR_Y - o[:, 1]) / np.where(np.abs(d[:, 1]) > 1e-9, d[:, 1], 1e-9)
+    ok = (ty > 1e-3) & (ty < best_t) & (np.abs(d[:, 1]) > 1e-9)
+    p = o[ok] + ty[ok, None] * d[ok]
+    checker = ((np.floor(p[:, 0] * 1.2) + np.floor(p[:, 2] * 1.2)) % 2).astype(bool)
+    alb = np.where(checker[:, None], [0.70, 0.55, 0.40], [0.45, 0.35, 0.28])
+    n = np.broadcast_to([0.0, 1.0, 0.0], p.shape)
+    rgb[ok] = _shade(p, n, alb)
+    best_t[ok] = ty[ok]
+
+    # back wall z = BACK_Z (checker in x/y)
+    tz = (BACK_Z - o[:, 2]) / np.where(np.abs(d[:, 2]) > 1e-9, d[:, 2], 1e-9)
+    ok = (tz > 1e-3) & (tz < best_t)
+    p = o[ok] + tz[ok, None] * d[ok]
+    checker = ((np.floor(p[:, 0] * 0.8) + np.floor(p[:, 1] * 0.8)) % 2).astype(bool)
+    alb = np.where(checker[:, None], [0.30, 0.40, 0.55], [0.20, 0.25, 0.35])
+    n = np.broadcast_to([0.0, 0.0, 1.0], p.shape)
+    rgb[ok] = _shade(p, n, alb)
+    best_t[ok] = tz[ok]
+
+    # sky (rays that miss everything — only possible above the back wall)
+    miss = ~np.isfinite(best_t)
+    rgb[miss] = [0.12, 0.14, 0.20]
+    return rgb.reshape(*sh, 3), best_t.reshape(sh)
+
+
+# ---------------------------------------------------------------------------
+# cameras
+# ---------------------------------------------------------------------------
+
+
+def look_at(pos, target, up=np.array([0.0, 1.0, 0.0])):
+    """NeRF-convention c2w [3,4]: columns [right, up, backward, origin]."""
+    z = pos - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, pos], axis=1)
+
+
+def camera_rays(H, W, focal, c2w):
+    """Identical to ops/rays.get_rays_np with K=[[f,0,W/2],[0,f,H/2]]."""
+    i, j = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64), indexing="xy")
+    dirs = np.stack(
+        [(i + 0.5 - 0.5 * W) / focal, -(j + 0.5 - 0.5 * H) / focal, -np.ones_like(i)], -1
+    )
+    rays_d = np.einsum("hwk,ck->hwc", dirs, c2w[:3, :3])
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape).copy()
+    return rays_o, rays_d
+
+
+# ---------------------------------------------------------------------------
+# degradation (low light + motion blur + noise)
+# ---------------------------------------------------------------------------
+
+
+def motion_blur(img, length, angle, rng):
+    import cv2
+
+    L = max(int(length), 1)
+    if L <= 1:
+        return img
+    k = np.zeros((L, L), np.float32)
+    c = (L - 1) / 2.0
+    for s in np.linspace(-c, c, 4 * L):
+        x = int(round(c + s * np.cos(angle)))
+        y = int(round(c + s * np.sin(angle)))
+        k[y, x] += 1.0
+    k /= k.sum()
+    return cv2.filter2D(img, -1, k)
+
+
+def degrade(img, rng):
+    """Bright-sharp [H,W,3] in [0,1] -> dark, blurred, noisy capture."""
+    dark = 0.20 * img ** 1.15  # exposure drop + mild tone curve
+    blurred = motion_blur(dark, rng.integers(4, 9), rng.uniform(0, np.pi), rng)
+    shot = rng.normal(0.0, 1.0, img.shape) * np.sqrt(np.maximum(blurred, 1e-4)) * 0.015
+    read = rng.normal(0.0, 0.008, img.shape)
+    return np.clip(blurred + shot + read, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def nerf_c2w_to_llff(c2w):
+    """Invert the loader's column swap (data/llff.py:266): on-disk columns
+    [-up, right, backward, origin] so that load gives back [right, up, ...]."""
+    return np.concatenate([-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:4]], axis=1)
+
+
+def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2):
+    """Ray-trace + degrade + write the LLFF scene.  Returns the out Path."""
+    import imageio.v2 as imageio
+
+    out = Path(outdir)
+    (out / "images").mkdir(parents=True, exist_ok=True)
+    (out / "gt").mkdir(parents=True, exist_ok=True)
+
+    ss = supersample
+    focal = 1.1 * W
+    rng = np.random.default_rng(seed)
+    target = np.array([0.0, 0.0, -3.5])
+
+    rows = []
+    depths = []
+    for vi in range(n):
+        # handheld burst: small offsets around the origin, all looking at
+        # (roughly) the same target => forward-facing with real parallax
+        pos = np.array(
+            [
+                0.40 * np.sin(2 * np.pi * vi / n) + rng.normal(0, 0.03),
+                0.28 * np.cos(2 * np.pi * vi / n) + rng.normal(0, 0.03),
+                0.15 * np.sin(4 * np.pi * vi / n) + rng.normal(0, 0.02),
+            ]
+        )
+        jitter_target = target + rng.normal(0, 0.02, 3)
+        c2w = look_at(pos, jitter_target)
+
+        ro, rd = camera_rays(H * ss, W * ss, focal * ss, c2w)
+        rgb, t = trace(ro, rd)
+        rgb = rgb.reshape(H, ss, W, ss, 3).mean((1, 3))  # supersampled AA
+        zdepth = -(
+            (t.reshape(H, ss, W, ss) * rd[..., 2].reshape(H, ss, W, ss))
+        )[np.isfinite(t.reshape(H, ss, W, ss))]
+        depths.append((np.percentile(zdepth, 1), np.percentile(zdepth, 99)))
+
+        gt8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        imageio.imwrite(out / "gt" / f"{vi:03d}.png", gt8)
+        cap = degrade(rgb, rng)
+        imageio.imwrite(out / "images" / f"{vi:03d}.png",
+                        (cap * 255).astype(np.uint8))
+
+        llff = nerf_c2w_to_llff(c2w)
+        hwf = np.array([[H], [W], [focal]], np.float64)
+        m = np.concatenate([llff, hwf], axis=1)  # [3, 5]
+        near = max(0.5, 0.9 * depths[-1][0])
+        far = 1.1 * depths[-1][1]
+        rows.append(np.concatenate([m.flatten(), [near, far]]))
+
+    np.save(out / "poses_bounds.npy", np.stack(rows))
+    print(f"wrote {n} views at {H}x{W} (focal {focal:.1f}) to {out}")
+    print(f"depth range ~[{min(d[0] for d in depths):.2f}, "
+          f"{max(d[1] for d in depths):.2f}]")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--supersample", type=int, default=2)
+    args = ap.parse_args()
+    make_scene(args.outdir, n=args.n, H=args.res, W=args.res,
+               seed=args.seed, supersample=args.supersample)
+
+
+if __name__ == "__main__":
+    main()
