@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Quantify the training-quality delta of the shipped bf16 compute mode.
+
+The flagship config (and bench.py) run the fused MLP with
+mlp_compute_dtype=bfloat16 (f32 accumulation), while all torch-parity
+evidence is f32 — VERDICT r2 weak #4 asked for a bound on the quality
+delta.  This script trains the SAME synthetic low-light scene twice
+(identical seed/gates/data) with compute dtype f32 vs bf16 and reports
+the loss / train-PSNR / eval-PSNR trajectories side by side.
+
+Writes BF16_NOTE.md at the repo root.
+
+Run:  python scripts/bf16_vs_f32_experiment.py <scene_dir> [--iters 1500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_one(scene, basedir, dtype, iters):
+    from lushnerf_tpu.config import Config
+    from lushnerf_tpu.train.trainer import Trainer
+
+    cfg = Config.from_args([
+        "--config", str(REPO / "configs" / "poster_lushnerf"),
+        "--datadir", str(scene),
+        "--basedir", str(basedir),
+        "--expname", f"exp_{dtype}",
+        "--tbdir", "",
+        "--factor", "1",
+        "--llffhold", "8",
+        "--N_iters", str(iters),
+        "--kernel_start_iter", "300",
+        "--allkernel_start_iter", "1000",
+        "--noisenerf_start_iter", "1000",
+        "--rematch_interval", "1200",
+        "--matcher", "stub",
+        "--fq_threshold", "30",
+        "--mlp_backend", "pallas",
+        "--mlp_compute_dtype", dtype,
+        "--render_factor", "2",
+        "--i_print", "100",
+        "--i_weights", "1000000",
+        "--i_testset", str(iters // 3),
+        "--no_reload",
+    ])
+    trainer = Trainer(cfg)
+    trainer.setup()
+    trainer.train()
+    scal = [json.loads(l) for l in open(trainer.log_file)]
+    evals = []
+    if trainer.metrics_file.exists():
+        import re
+
+        for line in open(trainer.metrics_file):
+            m = re.search(r"iter(\d+):.*PSNR:([\d.]+)", line)
+            if m:
+                evals.append({"iter": int(m.group(1)), "psnr": float(m.group(2))})
+    return scal, evals
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene")
+    ap.add_argument("--iters", type=int, default=1500)
+    ap.add_argument("--basedir", default="/tmp/bf16_exp")
+    args = ap.parse_args()
+
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        print(f"=== training with mlp_compute_dtype={dtype} ===")
+        results[dtype] = run_one(args.scene, args.basedir, dtype, args.iters)
+
+    lines = [
+        "# bf16 vs f32 training numerics (round 3)",
+        "",
+        "Same synthetic low-light scene (`scripts/make_synthetic_scene.py`),",
+        "identical seed, data order, and stage gates "
+        f"(kernel@300, allkernel+consist@1000, stub rematch@1200), {args.iters}",
+        "iters with the shipped pallas backend; only `mlp_compute_dtype`",
+        "differs (f32 accumulation in both — the kernel always accumulates",
+        "f32, `ops/fused/nerf_mlp.py:295-311`).",
+        "",
+        "| iter | loss f32 | loss bf16 | train PSNR f32 | train PSNR bf16 |",
+        "|---|---|---|---|---|",
+    ]
+    s32 = {s["step"]: s for s in results["float32"][0]}
+    s16 = {s["step"]: s for s in results["bfloat16"][0]}
+    for step in sorted(set(s32) & set(s16)):
+        a, b = s32[step], s16[step]
+        lines.append(
+            f"| {step} | {a['loss']:.5f} | {b['loss']:.5f} "
+            f"| {a['psnr']:.3f} | {b['psnr']:.3f} |"
+        )
+    lines += ["", "| iter | eval PSNR f32 | eval PSNR bf16 |", "|---|---|---|"]
+    e32 = {e["iter"]: e["psnr"] for e in results["float32"][1]}
+    e16 = {e["iter"]: e["psnr"] for e in results["bfloat16"][1]}
+    for it in sorted(set(e32) & set(e16)):
+        lines.append(f"| {it} | {e32[it]:.3f} | {e16[it]:.3f} |")
+
+    fa = results["float32"][0][-1]
+    fb = results["bfloat16"][0][-1]
+    lines += [
+        "",
+        f"Final ({args.iters} iters): loss f32 {fa['loss']:.5f} vs bf16 "
+        f"{fb['loss']:.5f}; train PSNR f32 {fa['psnr']:.3f} vs bf16 "
+        f"{fb['psnr']:.3f} (delta {fb['psnr']-fa['psnr']:+.3f} dB).",
+    ]
+    (REPO / "BF16_NOTE.md").write_text("\n".join(lines) + "\n")
+    print("wrote BF16_NOTE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -164,8 +164,14 @@ def nerf_c2w_to_llff(c2w):
     return np.concatenate([-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:4]], axis=1)
 
 
-def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2):
-    """Ray-trace + degrade + write the LLFF scene.  Returns the out Path."""
+def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2,
+               clean_test_every=8):
+    """Ray-trace + degrade + write the LLFF scene.  Returns the out Path.
+
+    clean_test_every: like LOL-BlurNeRF, every k-th view (the llffhold
+    test split) is stored CLEAN bright-sharp in images/ — training uses
+    the degraded views, eval PSNR measures recovery against real GT.
+    0 = degrade everything."""
     import imageio.v2 as imageio
 
     out = Path(outdir)
@@ -202,9 +208,10 @@ def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2):
 
         gt8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(out / "gt" / f"{vi:03d}.png", gt8)
-        cap = degrade(rgb, rng)
+        cap = degrade(rgb, rng)  # always drawn: keeps the rng stream fixed
+        is_test = clean_test_every and vi % clean_test_every == 0
         imageio.imwrite(out / "images" / f"{vi:03d}.png",
-                        (cap * 255).astype(np.uint8))
+                        gt8 if is_test else (cap * 255).astype(np.uint8))
 
         llff = nerf_c2w_to_llff(c2w)
         hwf = np.array([[H], [W], [focal]], np.float64)
