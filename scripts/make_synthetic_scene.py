@@ -145,8 +145,12 @@ def motion_blur(img, length, angle, rng):
 
 
 def degrade(img, rng):
-    """Bright-sharp [H,W,3] in [0,1] -> dark, blurred, noisy capture."""
-    dark = 0.20 * img ** 1.15  # exposure drop + mild tone curve
+    """Bright-sharp [H,W,3] in [0,1] -> dark, blurred, noisy capture.
+
+    Linear exposure drop (matching how the LOL-BlurNeRF synthetic scenes
+    are produced — a tone curve here would shift chroma in a way the
+    CLAHE-on-V preprocessing cannot undo, poisoning eval PSNR vs GT)."""
+    dark = 0.20 * img
     blurred = motion_blur(dark, rng.integers(4, 9), rng.uniform(0, np.pi), rng)
     shot = rng.normal(0.0, 1.0, img.shape) * np.sqrt(np.maximum(blurred, 1e-4)) * 0.015
     read = rng.normal(0.0, 0.008, img.shape)
