@@ -154,6 +154,77 @@ def main():
     peak = _peak_tflops(jax.devices()[0].device_kind)
     mfu = model_flops / sec_per_step / (peak * 1e12) / n_chips
 
+    # ---- consist-stage step (allkernel+consist, V=29 views x 32 pixels) --
+    from lushnerf_tpu.train.consistency import render_aligned_pixels
+    from lushnerf_tpu.train.losses import consistency_loss
+
+    V, n_pix = 29, 32
+    K_mat = jnp.asarray(
+        np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    )
+    poses = np.tile(np.eye(4, dtype=np.float32)[:3], (V, 1, 1))
+    poses[:, 0, 3] = 0.05 * np.arange(V)
+    consist = {
+        "poses": jax.device_put(jnp.asarray(poses), rep),
+        "align_pix": jax.device_put(
+            jnp.asarray(rng.uniform(0, W, (V, n_pix, 2)).astype(np.float32)), rep),
+        "certainty": jax.device_put(
+            jnp.asarray(rng.random((V, n_pix), dtype=np.float32)), rep),
+        "weight": jnp.float32(1e-2),
+    }
+
+    def loss_fn_consist(params, batch, consist, key):
+        loss, mse = loss_fn(params, batch, key)
+        rgb_align = render_aligned_pixels(
+            params, lush_cfg, H, W, K_mat, consist["poses"], consist["align_pix"]
+        )
+        closs = consistency_loss(rgb_align, consist["certainty"], 0.8)
+        return loss + consist["weight"] * closs, mse
+
+    def step_fn_consist(params, opt_state, batch, consist, key):
+        (loss, _), grads = jax.value_and_grad(loss_fn_consist, has_aux=True)(
+            params, batch, consist, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step_c = jax.jit(
+        step_fn_consist,
+        in_shardings=(rep, rep, shard, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+
+    def timed_consist(iters, params, opt_state, key):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step_c(params, opt_state, batch, consist, k)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    timed_consist(2, params, opt_state, key)
+    tc = max(timed_consist(n_long, params, opt_state, key)
+             - timed_consist(n_short, params, opt_state, key), 1e-9)
+    consist_sec = tc / iters
+
+    # ---- eval image render (400x400, chunked) ----------------------------
+    from lushnerf_tpu.models.lushnerf import render_image
+    from functools import partial
+
+    render_j = jax.jit(partial(render_image, cfg=lush_cfg, H=H, W=W, ray_chunk=4096))
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32)[:3])
+
+    def timed_eval(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rgb, _, _ = render_j(params, K=K_mat, c2w=c2w)
+        _ = float(jnp.sum(rgb))
+        return time.perf_counter() - t0
+
+    timed_eval(1)
+    te = max(timed_eval(4) - timed_eval(1), 1e-9) / 3
+    eval_rays_per_s = H * W / te / n_chips
+
     result = {
         "metric": "rays_per_s_per_chip_fwdbwd",
         "value": round(rays_per_s, 1),
@@ -163,6 +234,10 @@ def main():
         "device": jax.devices()[0].device_kind,
         "n_chips": n_chips,
         "ms_per_step": round(1e3 * sec_per_step, 2),
+        "consist_rays_per_s": round(n_rays * 1.0 / consist_sec / n_chips, 1),
+        "consist_ms_per_step": round(1e3 * consist_sec, 2),
+        "eval_rays_per_s": round(eval_rays_per_s, 1),
+        "eval_ms_per_image": round(1e3 * te, 1),
     }
     measured_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")

@@ -220,8 +220,13 @@ def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2,
         llff = nerf_c2w_to_llff(c2w)
         hwf = np.array([[H], [W], [focal]], np.float64)
         m = np.concatenate([llff, hwf], axis=1)  # [3, 5]
-        near = max(0.5, 0.9 * depths[-1][0])
-        far = 1.1 * depths[-1][1]
+        # generous near margin, like COLMAP bounds on real captures: the
+        # LLFF bd rescale pins bds.min at depth ~1.33, and the reference
+        # configs' render_rmnearplane=80 zeroes density nearer than sample
+        # param 80/128 (depth 2.67) at eval — with near == subject depth
+        # the subject itself would be culled from eval renders
+        near = max(0.35, 0.35 * depths[-1][0])
+        far = 1.15 * depths[-1][1]
         rows.append(np.concatenate([m.flatten(), [near, far]]))
 
     np.save(out / "poses_bounds.npy", np.stack(rows))
