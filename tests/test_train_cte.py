@@ -162,6 +162,22 @@ def test_dkm_fallback_weightless(tmp_path):
     assert any(k.endswith("+consist") for k in trainer._step_fns)
 
 
+def test_grid_stub_matcher():
+    """`matcher = stub` grid matcher: content-independent (multi-host
+    safe), identity correspondences inside the image, fixed column count."""
+    from lushnerf_tpu.matcher.api import GridStubMatcher
+
+    m = GridStubMatcher(n_points=16)
+    a = np.random.default_rng(0).random((32, 48, 3)).astype(np.float32)
+    b = np.random.default_rng(1).random((32, 48, 3)).astype(np.float32)
+    k0, k1, c = m.match(a, b)
+    k0b, _, _ = m.match(b, a)
+    np.testing.assert_array_equal(k0, k0b)
+    np.testing.assert_array_equal(k0, k1)
+    assert k0[:, 0].max() < 48 and k0[:, 1].max() < 32
+    assert len(c) == 16 and (c == np.float32(0.9)).all()
+
+
 def test_build_match_tables_asserts_on_ragged(tmp_path):
     """A matcher returning fewer columns for one pair must fail loudly
     (round-1 weakness: silent [:first] truncation misaligned indices)."""
