@@ -123,6 +123,9 @@ class Config:
     rbk_ccw_width: int = 32
     rbk_se_rv_window: float = 0.2
     rbk_use_origin: bool = False
+    # zero-mean-blur anchor weight (framework addition; 0 = reference
+    # behavior — see models/lushnerf.py LushConfig.rbk_anchor_reg)
+    rbk_anchor_reg: float = 0.0
     use_coarse_to_fine_opt: bool = False
     save_warped_ray_img: bool = False
 
@@ -301,4 +304,5 @@ class Config:
             num_images=self.num_images,
             near=near,
             far=far,
+            rbk_anchor_reg=self.rbk_anchor_reg,
         )

@@ -59,6 +59,14 @@ class LushConfig:
     num_images: int = 1
     near: float = 0.0
     far: float = 1.0
+    # Weight of the zero-mean-blur anchor penalty on the RBK bundle
+    # (framework addition, not in the reference): the blur composite's
+    # weighted-mean sub-ray is pulled onto the original ray, removing the
+    # gauge mode where the whole scene drifts off the pixel grid while the
+    # per-image kernels absorb the shift (the reference's RBK has this flat
+    # direction — shipped configs enable the anchor; 0.0 reproduces the
+    # reference exactly).
+    rbk_anchor_reg: float = 0.0
 
     @property
     def mlp_cfg(self) -> MLPConfig:
@@ -229,7 +237,19 @@ def forward_kernel(
     depth = rbk_weighted_sum(out["depth"].reshape(N, M1), ccw)
     acc = rbk_weighted_sum(out["acc"].reshape(N, M1), ccw)
 
+    # Zero-mean-blur anchor (see LushConfig.rbk_anchor_reg): squared drift
+    # of the bundle's weighted-mean origin and end point vs the original
+    # ray.  Uses the fq-gated sub_rays so kernel-stage gradient gating is
+    # respected; costs a handful of VPU ops per ray.
+    mean_sub = rbk_weighted_sum(sub_rays, ccw)  # [N, 3, 2]
+    drift_o = mean_sub[..., 0] - rays[..., 0]
+    drift_p = drift_o + (mean_sub[..., 1] - rays[..., 1])
+    rbk_drift = jnp.mean(
+        jnp.sum(drift_o**2, axis=-1) + jnp.sum(drift_p**2, axis=-1)
+    )
+
     return {
+        "rbk_drift": rbk_drift,
         "rgb_blur": apply_tonemap(params["tonemap"], tm, rgb_pure + rgb_noise),
         "rgb0_blur": apply_tonemap(params["tonemap"], tm, rgb0_pure + rgb_noise),
         "rgb_noise": rgb_noise,

@@ -329,6 +329,8 @@ class Trainer:
                 batch["rays"], batch["images_idx"][:, 0], key, fq_mask=fq,
             )
         loss, mse = photometric_loss(out["rgb_blur"], out["rgb0_blur"], batch["rgbs"])
+        if stage != "naive" and cfg.rbk_anchor_reg > 0.0:
+            loss = loss + cfg.rbk_anchor_reg * out["rbk_drift"]
         return loss, mse
 
     def _loss_fn_consist(self, params, batch, consist, key, stage: str):

@@ -66,7 +66,11 @@ def main():
         " full RBK (4 motions), SND, CTE with the deterministic grid stub"
         " matcher (`matcher=stub`; DKM weights don't exist in this env).",
         "- **Gates (scaled from the reference's 1.2k/60k/60k/20k)**:"
-        " kernel@300, allkernel+consist@2000, rematch every 2500.",
+        " kernel@300, allkernel+consist@2000, rematch every 2500."
+        "  `rbk_anchor_reg=1.0` (the shipped zero-mean-blur anchor; without"
+        " it the RBK gauge mode drifted the scene ~8 px off the pixel grid"
+        " and eval-vs-GT stagnated at 16.4 dB — see PARITY.md quirks"
+        " ledger).",
         "- **Legs**: fresh to 4000 (leg 1), then a NEW process resumed from"
         " the 4000 checkpoint and trained to 8000 (leg 2).",
         f"- Resume evidence: `{resume_line}`",
@@ -106,10 +110,13 @@ def main():
         + ").",
         f"- eval PSNR vs clean GT {e0[1]:.2f} -> {eN[1]:.2f} dB,"
         f" SSIM {e0[2]:.3f} -> {eN[2]:.3f}.",
-        "- The preprocessed degraded inputs themselves score ~22.9 dB"
-        " against preprocessed GT (blur+noise floor); eval above that"
-        " means the model is genuinely deblurring/denoising, not just"
-        " memorizing inputs.",
+        "- Measured quality context: the preprocessed degraded train"
+        " inputs themselves score 27.1 dB / SSIM 0.709 against"
+        " preprocessed clean GT at eval res (the blur+noise floor), and a"
+        " blur-model-free NeRF control (RBK/SND/CTE disabled, 1500 iters)"
+        " evals at 27.45 dB / SSIM 0.821 — the staged model approaching"
+        " that band on *held-out* views while also fitting per-image blur"
+        " kernels means the composed system trains sanely end to end.",
         "- Loss stayed finite throughout; the stage transitions at 300 and"
         " 2000 and the rematches did not destabilize training; leg 2"
         " continued smoothly from the resumed state (compare the loss at"

@@ -167,3 +167,59 @@ def test_batch_sharding_over_mesh(tmp_path):
     trainer.setup()
     assert trainer.mesh.devices.size == 8
     trainer.train(num_iters=2)
+
+
+def test_rbk_anchor_reg_reduces_bundle_drift(tmp_path):
+    """The zero-mean-blur anchor (framework addition, LushConfig.
+    rbk_anchor_reg) pulls the RBK bundle's weighted-mean sub-ray onto the
+    original ray.  At init the drift is nonzero (the reference keeps
+    torch-default biases on the v/w heads, models/lushnerf.py:62-68, which
+    kick a translation shared by every image); training WITH the anchor
+    must shrink it, and reg=0 must add nothing to the loss."""
+    import jax.numpy as jnp
+
+    from lushnerf_tpu.models.lushnerf import forward_kernel
+    from lushnerf_tpu.train.losses import photometric_loss
+
+    # note: Adam's normalized updates mean the anchored mode converges at
+    # ~lrate/step whatever the reg weight — give the test enough distance
+    cfg = tiny_config(tmp_path, rbk_anchor_reg=10.0, kernel_start_iter=1,
+                      allkernel_start_iter=2, i_print=1000, lrate=4e-3)
+    trainer = Trainer(cfg, data=synthetic_scene())
+    trainer.setup()
+
+    fwd = jax.jit(
+        lambda p, rays, idx: forward_kernel(
+            p, trainer.lush_cfg, trainer.H, trainer.W, trainer.focal,
+            rays, idx, jax.random.PRNGKey(0),
+        )["rbk_drift"]
+    )
+
+    def drift_now():
+        batch_np = trainer.dataset.next_batch(cfg.N_rand, np.random.default_rng(0))
+        return float(fwd(
+            trainer.params, jnp.asarray(batch_np["rays"]),
+            jnp.asarray(batch_np["images_idx"][:, 0]),
+        ))
+
+    d0 = drift_now()
+    assert np.isfinite(d0) and d0 > 0.0
+    trainer.train(num_iters=150)
+    d1 = drift_now()
+    assert d1 < d0 * 0.5, (d0, d1)
+
+    # reg=0 (the reference behavior): loss is exactly the photometric loss
+    cfg0 = tiny_config(tmp_path, expname="noanchor", rbk_anchor_reg=0.0,
+                       kernel_start_iter=1, allkernel_start_iter=2)
+    tr0 = Trainer(cfg0, data=synthetic_scene())
+    tr0.setup()
+    batch_np = tr0.dataset.next_batch(cfg0.N_rand, np.random.default_rng(0))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(1)
+    loss, _ = tr0._loss_fn(tr0.params, batch, key, "allkernel")
+    out = forward_kernel(
+        tr0.params, tr0.lush_cfg, tr0.H, tr0.W, tr0.focal, batch["rays"],
+        batch["images_idx"][:, 0], key,
+    )
+    ref_loss, _ = photometric_loss(out["rgb_blur"], out["rgb0_blur"], batch["rgbs"])
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
