@@ -126,6 +126,9 @@ class Config:
     # zero-mean-blur anchor weight (framework addition; 0 = reference
     # behavior — see models/lushnerf.py LushConfig.rbk_anchor_reg)
     rbk_anchor_reg: float = 0.0
+    # zero-init the r/v head biases so warps start exactly at identity
+    # (framework addition; False = reference init — see models/rbk.py)
+    rbk_zero_head_bias: bool = False
     use_coarse_to_fine_opt: bool = False
     save_warped_ray_img: bool = False
 
@@ -289,6 +292,7 @@ class Config:
             w_width=self.rbk_ccw_width,
             rv_window=self.rbk_se_rv_window,
             use_origin=self.rbk_use_origin,
+            zero_head_bias=self.rbk_zero_head_bias,
         )
 
     def lush_config(self, near: float = 0.0, far: float = 1.0) -> LushConfig:

@@ -55,6 +55,14 @@ class RBKConfig:
     w_width: int = 32
     rv_window: float = 0.1  # rbk_se_rv_window
     use_origin: bool = True
+    # Framework addition (rbk_zero_head_bias): zero-init the r/v output
+    # biases so warps start at EXACTLY identity.  The reference keeps the
+    # torch-default bias (models/lushnerf.py:62-68) on heads whose weights
+    # it deliberately shrinks to 1e-5 — the leftover bias is a translation/
+    # rotation shared by every image, which kicks the gauge-drift mode the
+    # zero-mean-blur anchor then has to undo (measured ~3 px of image
+    # shift by iter 500 on the synthetic staged run).  False = reference.
+    zero_head_bias: bool = False
 
     @property
     def num_rays_out(self) -> int:
@@ -94,12 +102,16 @@ def init_rbk(key, cfg: RBKConfig, dtype=jnp.float32) -> Params:
     params["r_branch"] = [
         linear_init(next(nk), r_dims[i], r_dims[i + 1], dtype) for i in range(cfg.r_depth)
     ]
-    params["r_out"] = _tiny_head_init(next(nk), cfg.r_width, cfg.r_output_ch * cfg.num_motion, dtype)
+    def head_init(key, fan_in, fan_out):
+        w, b = _tiny_head_init(key, fan_in, fan_out, dtype)
+        return (w, jnp.zeros_like(b)) if cfg.zero_head_bias else (w, b)
+
+    params["r_out"] = head_init(next(nk), cfg.r_width, cfg.r_output_ch * cfg.num_motion)
     v_dims = [cfg.width] + [cfg.v_width] * cfg.v_depth
     params["v_branch"] = [
         linear_init(next(nk), v_dims[i], v_dims[i + 1], dtype) for i in range(cfg.v_depth)
     ]
-    params["v_out"] = _tiny_head_init(next(nk), cfg.v_width, cfg.v_output_ch * cfg.num_motion, dtype)
+    params["v_out"] = head_init(next(nk), cfg.v_width, cfg.v_output_ch * cfg.num_motion)
     w_dims = [cfg.width] + [cfg.w_width] * cfg.w_depth
     params["w_branch"] = [
         linear_init(next(nk), w_dims[i], w_dims[i + 1], dtype) for i in range(cfg.w_depth)

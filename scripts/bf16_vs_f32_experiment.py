@@ -20,6 +20,8 @@ import json
 import sys
 from pathlib import Path
 
+import numpy as np
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
@@ -29,7 +31,7 @@ def run_one(scene, basedir, dtype, iters):
     from lushnerf_tpu.train.trainer import Trainer
 
     cfg = Config.from_args([
-        "--config", str(REPO / "configs" / "poster_lushnerf"),
+        "--config", str(REPO / "configs" / "poster"),
         "--datadir", str(scene),
         "--basedir", str(basedir),
         "--expname", f"exp_{dtype}",
@@ -64,6 +66,43 @@ def run_one(scene, basedir, dtype, iters):
             if m:
                 evals.append({"iter": int(m.group(1)), "psnr": float(m.group(2))})
     return scal, evals
+
+
+def aligned_eval(scene, exp_dir, iters, llffhold=8):
+    """Shift-aligned eval PSNR vs clean GT: best integer (dy,dx) roll in
+    [-8,8]^2 per view, averaged over test views.  Separates residual RBK
+    gauge drift (a global image shift) from actual render quality."""
+    import cv2
+    import imageio.v2 as imageio
+
+    from lushnerf_tpu.data.preprocess import enhance_image_bgr
+
+    def pre(im):
+        bgr = (im[..., ::-1] * 255).astype(np.uint8)
+        return enhance_image_bgr(bgr, 1.0, 10.0)[..., ::-1].astype(np.float32) / 255.0
+
+    def psnr(a, b):
+        return -10 * np.log10(np.mean((a - b) ** 2))
+
+    out = {}
+    for it in sorted(int(p.name.split("_")[1]) for p in Path(exp_dir).glob("testset_*")):
+        vals, shifts = [], []
+        for vi in range(0, 20, llffhold):
+            r = imageio.imread(Path(exp_dir) / f"testset_{it:06d}" / f"{vi:03d}.png")
+            r = r.astype(np.float32) / 255.0
+            g = pre(imageio.imread(Path(scene) / "gt" / f"{vi:03d}.png").astype(np.float32) / 255.0)
+            g = cv2.resize(g, (r.shape[1], r.shape[0]), interpolation=cv2.INTER_AREA)
+            best = (None, -1.0)
+            for dy in range(-8, 9):
+                for dx in range(-8, 9):
+                    rr = np.roll(np.roll(r, dy, 0), dx, 1)
+                    m = psnr(rr[8:-8, 8:-8], g[8:-8, 8:-8])
+                    if m > best[1]:
+                        best = ((dy, dx), m)
+            vals.append(best[1])
+            shifts.append(best[0])
+        out[it] = (float(np.mean(vals)), shifts)
+    return out
 
 
 def main():
@@ -105,6 +144,22 @@ def main():
     for it in sorted(set(e32) & set(e16)):
         lines.append(f"| {it} | {e32[it]:.3f} | {e16[it]:.3f} |")
 
+    # shift-aligned eval: removes residual gauge-drift image shift (a
+    # property of the RBK optimization trajectory, not of the MLP compute
+    # dtype) so the dtype comparison reflects render quality alone
+    a32 = aligned_eval(args.scene, Path(args.basedir) / "exp_float32", args.iters)
+    a16 = aligned_eval(args.scene, Path(args.basedir) / "exp_bfloat16", args.iters)
+    lines += [
+        "",
+        "| iter | shift-aligned eval PSNR f32 (residual shift) | bf16 (shift) |",
+        "|---|---|---|",
+    ]
+    for it in sorted(set(a32) & set(a16)):
+        lines.append(
+            f"| {it} | {a32[it][0]:.3f} ({a32[it][1][0]}) "
+            f"| {a16[it][0]:.3f} ({a16[it][1][0]}) |"
+        )
+
     fa = results["float32"][0][-1]
     fb = results["bfloat16"][0][-1]
     lines += [
@@ -112,6 +167,14 @@ def main():
         f"Final ({args.iters} iters): loss f32 {fa['loss']:.5f} vs bf16 "
         f"{fb['loss']:.5f}; train PSNR f32 {fa['psnr']:.3f} vs bf16 "
         f"{fb['psnr']:.3f} (delta {fb['psnr']-fa['psnr']:+.3f} dB).",
+    ]
+    lines += [
+        "",
+        "Reading: the *raw* eval column is dominated by each run's",
+        "instantaneous residual gauge shift (the RBK drift mode the shipped",
+        "anchor suppresses — see PARITY.md quirks ledger), which differs",
+        "between runs because dtype rounding perturbs the RBK trajectory;",
+        "the shift-aligned column is the dtype-relevant comparison.",
     ]
     (REPO / "BF16_NOTE.md").write_text("\n".join(lines) + "\n")
     print("wrote BF16_NOTE.md")

@@ -204,6 +204,23 @@ def test_rbk_anchor_reg_reduces_bundle_drift(tmp_path):
 
     d0 = drift_now()
     assert np.isfinite(d0) and d0 > 0.0
+
+    # rbk_zero_head_bias kills the init kick: warps start at ~identity
+    # (residual is the 1e-5 xavier weight noise), so the initial drift is
+    # orders of magnitude below the torch-default-bias init's.
+    cfgz = tiny_config(tmp_path, expname="zerobias", rbk_zero_head_bias=True,
+                       kernel_start_iter=1, allkernel_start_iter=2)
+    trz = Trainer(cfgz, data=synthetic_scene())
+    trz.setup()
+    batch_np = trz.dataset.next_batch(cfgz.N_rand, np.random.default_rng(0))
+    outz = jax.jit(
+        lambda p, rays, idx: forward_kernel(
+            p, trz.lush_cfg, trz.H, trz.W, trz.focal, rays, idx,
+            jax.random.PRNGKey(0),
+        )["rbk_drift"]
+    )(trz.params, jnp.asarray(batch_np["rays"]),
+      jnp.asarray(batch_np["images_idx"][:, 0]))
+    assert float(outz) < d0 * 1e-4, (float(outz), d0)
     trainer.train(num_iters=150)
     d1 = drift_now()
     assert d1 < d0 * 0.5, (d0, d1)
