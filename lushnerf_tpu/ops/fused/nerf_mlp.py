@@ -51,11 +51,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 LANES = 128
-# Tile swept on a v5e (scripts/tune_kernel.py): 1024 wins for fwd+bwd
-# (41 ms vs 47 ms at 512 / 45 ms at 2048 on the 983k-point step workload) —
-# the backward's recomputed activations (~12 arrays of [tile, 256] f32)
-# plus resident weights stay within the raised VMEM budget below.
-DEFAULT_TILE = 1024
+# Tiles swept on a v5e (scripts/tune_kernel.py, round 3): the forward
+# kernel peaks at tile 2048 (7.8 ms, 174 TF/s = 88% of peak, vs 10.1 ms
+# at 1024), while the backward — whose recomputed activations (~12 arrays
+# of [tile, 256] f32) pressure VMEM — still prefers 1024 (35.8 ms fwd+bwd
+# vs 39.8 at 2048).  DEFAULT_TILE therefore carries a (fwd, bwd) pair;
+# plain ints are accepted everywhere and mean "both".
+DEFAULT_TILE = (2048, 1024)
+
+
+def _tile_pair(tile) -> Tuple[int, int]:
+    if isinstance(tile, tuple):
+        return tile
+    return (tile, tile)
 # Mosaic's default scoped-VMEM budget (16 MB) would cap the tile at 512 for
 # the backward pass; v5e/v4 have 128 MB VMEM per core, so raise the
 # per-kernel limit and let tiles grow (bigger tiles amortize per-tile
@@ -261,6 +269,15 @@ def _fast_sin(x):
     return r * p
 
 
+def _pe_xs(xd, C):
+    """xd [T, 8] packed -> xs [T, 128]: frequency-scaled selected
+    coordinates (the trig argument).  Cheap — one tiny selection matmul
+    and a per-lane scale, no transcendentals."""
+    S = C[0:XD_CH]
+    freq = C[XD_CH : XD_CH + 1]
+    return _sel_dot(xd, S) * freq
+
+
 def _pe_forward(xd, C):
     """xd [T, 8] packed -> (xs, pe), each [T, 128].
 
@@ -269,9 +286,8 @@ def _pe_forward(xd, C):
     ONE sin evaluation covers every sin AND cos lane (phase row = pi/2 on
     cos lanes).
     """
-    S = C[0:XD_CH]
-    freq, idm, trig, phase = (C[XD_CH + i : XD_CH + i + 1] for i in range(4))
-    xs = _sel_dot(xd, S) * freq
+    idm, trig, phase = (C[XD_CH + i : XD_CH + i + 1] for i in range(1, 4))
+    xs = _pe_xs(xd, C)
     pe = idm * xs + trig * _fast_sin(xs + phase)
     return xs, pe
 
@@ -337,9 +353,10 @@ def _fwd_activations(pe, w, compute_dtype=jnp.float32):
     return a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb
 
 
-def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32):
-    w = tuple(r[...] for r in refs[:-1])
-    out_ref = refs[-1]
+def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False):
+    n_out = 2 if emit_pe else 1
+    w = tuple(r[...] for r in refs[:-n_out])
+    out_ref = refs[-n_out]
     _, pe = _pe_forward(xd_ref[...], c_ref[...])
     acts = _fwd_activations(pe, w, compute_dtype)
     alpha, rgb = acts[8], acts[11]
@@ -348,10 +365,16 @@ def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32):
         [rgb[:, :3], alpha[:, :1], jnp.zeros_like(rgb[:, : LANES - 4])], axis=-1
     )
     out_ref[...] = out
+    if emit_pe:
+        # persist the packed PE register for the backward pass (in the
+        # compute dtype — the matmuls cast to it anyway, so reusing the
+        # stored value is bit-identical to recomputing)
+        refs[-1][...] = pe.astype(refs[-1].dtype)
 
 
 def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
-              compute_dtype=jnp.float32, num_freqs_x: int = 10, num_freqs_d: int = 4):
+              compute_dtype=jnp.float32, num_freqs_x: int = 10,
+              num_freqs_d: int = 4, emit_pe: bool = False):
     P = xd.shape[0]
     grid = P // tile
     C = jnp.asarray(_pe_consts_np(num_freqs_x, num_freqs_d))
@@ -360,12 +383,18 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w]
+    tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_specs = [tile_spec]
+    out_shapes = [jax.ShapeDtypeStruct((P, LANES), F32)]
+    if emit_pe:
+        out_specs.append(tile_spec)
+        out_shapes.append(jax.ShapeDtypeStruct((P, LANES), jnp.dtype(compute_dtype)))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype=compute_dtype),
+        functools.partial(_fwd_kernel, compute_dtype=compute_dtype, emit_pe=emit_pe),
         grid=(grid,),
         in_specs=specs_in + w_specs,
-        out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, LANES), F32),
+        out_specs=out_specs if emit_pe else out_specs[0],
+        out_shape=out_shapes if emit_pe else out_shapes[0],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(xd, C, *w)
     return out
@@ -376,7 +405,7 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
+def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
     w_refs = refs[: _N_W + _N_B]
     out_refs = refs[_N_W + _N_B :]
     w = tuple(r[...] for r in w_refs)
@@ -384,7 +413,12 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
 
     C = c_ref[...]
     g = g_ref[...]
-    xs, pe = _pe_forward(xd_ref[...], C)
+    # pe was persisted by the forward kernel (same compute dtype — reusing
+    # it is bit-identical and saves one of the two transcendental passes);
+    # xs (the trig argument, needed for the PE derivative) is recomputed
+    # from the narrow xd input at trivial cost.
+    xs = _pe_xs(xd_ref[...], C)
+    pe = pe_ref[...]
     a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb = _fwd_activations(
         pe, w, compute_dtype
     )
@@ -462,7 +496,7 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, *refs, compute_dtype=jnp.float32):
             ref[...] += gr
 
 
-def _bwd_call(w, xd, g, tile: int, compute_dtype=jnp.float32,
+def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
               num_freqs_x: int = 10, num_freqs_d: int = 4):
     P = xd.shape[0]
     grid = P // tile
@@ -481,11 +515,12 @@ def _bwd_call(w, xd, g, tile: int, compute_dtype=jnp.float32,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
         grid=(grid,),
-        in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), tile_spec] + w_specs,
+        in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), tile_spec,
+                  tile_spec] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )(xd, C, g, *w)
+    )(xd, C, g, pe, *w)
     return outs[0], tuple(outs[1:])
 
 
@@ -495,24 +530,28 @@ def _bwd_call(w, xd, g, tile: int, compute_dtype=jnp.float32,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def fused_mlp_packed(w, xd, tile: int = DEFAULT_TILE, compute_dtype: str = "float32",
+def fused_mlp_packed(w, xd, tile=DEFAULT_TILE, compute_dtype: str = "float32",
                      num_freqs_x: int = 10, num_freqs_d: int = 4):
     """w: padded param tuple; xd: [P, 8] packed (xyz, dir) input
-    (P % tile == 0).  PE happens in-kernel.  Returns raw [P, 4] =
-    [rgb_raw, alpha_raw]."""
-    out = _fwd_call(w, xd, tile, jnp.dtype(compute_dtype), num_freqs_x, num_freqs_d)
+    (P divisible by both tiles).  `tile` is an int or a (fwd, bwd) pair.
+    PE happens in-kernel.  Returns raw [P, 4] = [rgb_raw, alpha_raw]."""
+    tf, _ = _tile_pair(tile)
+    out = _fwd_call(w, xd, tf, jnp.dtype(compute_dtype), num_freqs_x, num_freqs_d)
     return out[:, :4]
 
 
 def _fused_fwd(w, xd, tile, compute_dtype, num_freqs_x, num_freqs_d):
-    out = _fwd_call(w, xd, tile, jnp.dtype(compute_dtype), num_freqs_x, num_freqs_d)
-    return out[:, :4], (w, xd)
+    tf, _ = _tile_pair(tile)
+    out, pe = _fwd_call(w, xd, tf, jnp.dtype(compute_dtype), num_freqs_x,
+                        num_freqs_d, emit_pe=True)
+    return out[:, :4], (w, xd, pe)
 
 
 def _fused_bwd(tile, compute_dtype, num_freqs_x, num_freqs_d, res, g4):
-    w, xd = res
+    w, xd, pe = res
+    _, tb = _tile_pair(tile)
     g = jnp.pad(g4, ((0, 0), (0, LANES - 4)))
-    dxd, dw = _bwd_call(w, xd, g, tile, jnp.dtype(compute_dtype),
+    dxd, dw = _bwd_call(w, xd, g, pe, tb, jnp.dtype(compute_dtype),
                         num_freqs_x, num_freqs_d)
     return dw, dxd
 
@@ -535,7 +574,7 @@ def supports(mlp_cfg, render_cfg) -> bool:
     )
 
 
-def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile: int = DEFAULT_TILE):
+def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile=DEFAULT_TILE):
     """Drop-in for renderer.eval_points with the fused kernel.
 
     pts: [R, S, 3]; viewdirs: [R, 3].  Returns raw [R, S, 4].
@@ -553,7 +592,9 @@ def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile: int = DE
     x = pts.reshape(P, 3)
     d = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(P, 3)
 
-    P_pad = -(-P // tile) * tile
+    tf, tb = _tile_pair(tile)
+    tile_lcm = max(tf, tb)  # both are powers of two
+    P_pad = -(-P // tile_lcm) * tile_lcm
     xd = jnp.concatenate([x, d], axis=-1).astype(F32)
     xd = jnp.pad(xd, ((0, P_pad - P), (0, XD_CH - xd.shape[-1])))
 

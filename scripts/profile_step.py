@@ -73,7 +73,8 @@ def main():
         input_ch=rcfg.input_ch, input_ch_views=rcfg.input_ch_views,
     )
     mparams = init_nerf_mlp(key, mlp_cfg)
-    P_pad = -(-P // fused.DEFAULT_TILE) * fused.DEFAULT_TILE
+    tile_max = max(fused._tile_pair(fused.DEFAULT_TILE))
+    P_pad = -(-P // tile_max) * tile_max
     xd = jnp.asarray(rng.standard_normal((P_pad, fused.XD_CH)), jnp.float32)
 
     cd = rcfg.mlp_compute_dtype
