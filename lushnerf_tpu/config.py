@@ -129,6 +129,8 @@ class Config:
     # zero-init the r/v head biases so warps start exactly at identity
     # (framework addition; False = reference init — see models/rbk.py)
     rbk_zero_head_bias: bool = False
+    # far anchor depth in ray-lengths (see models/lushnerf.py)
+    rbk_anchor_depth: float = 8.0
     use_coarse_to_fine_opt: bool = False
     save_warped_ray_img: bool = False
 
@@ -309,4 +311,5 @@ class Config:
             near=near,
             far=far,
             rbk_anchor_reg=self.rbk_anchor_reg,
+            rbk_anchor_depth=self.rbk_anchor_depth,
         )

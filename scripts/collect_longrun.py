@@ -70,9 +70,11 @@ def main():
         "  `rbk_anchor_reg=1.0` (the shipped zero-mean-blur anchor; without"
         " it the RBK gauge mode drifted the scene ~8 px off the pixel grid"
         " and eval-vs-GT stagnated at 16.4 dB — see PARITY.md quirks"
-        " ledger).",
-        "- **Legs**: fresh to 4000 (leg 1), then a NEW process resumed from"
-        " the 4000 checkpoint and trained to 8000 (leg 2).",
+        " ledger) and `rbk_zero_head_bias` (warps start exactly at"
+        " identity).",
+        f"- **Legs**: fresh to {steps[-1]//2} (leg 1), then a NEW process"
+        f" resumed from the {steps[-1]//2} checkpoint and trained to"
+        f" {steps[-1]} (leg 2).",
         f"- Resume evidence: `{resume_line}`",
         f"- Checkpoints: {', '.join(ckpts)}",
         f"- Rematch tables persisted: {', '.join(tables)}",
@@ -119,8 +121,8 @@ def main():
         " kernels means the composed system trains sanely end to end.",
         "- Loss stayed finite throughout; the stage transitions at 300 and"
         " 2000 and the rematches did not destabilize training; leg 2"
-        " continued smoothly from the resumed state (compare the loss at"
-        " 4000 in leg 1 vs 4100 in leg 2 above).",
+        " continued smoothly from the resumed state (compare the loss just"
+        " before and just after the resume boundary above).",
     ]
     (REPO / "LONGRUN_r03.md").write_text("\n".join(lines) + "\n")
     print("wrote LONGRUN_r03.md")
