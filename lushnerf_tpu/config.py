@@ -129,6 +129,13 @@ class Config:
     # zero-init the r/v head biases so warps start exactly at identity
     # (framework addition; False = reference init — see models/rbk.py)
     rbk_zero_head_bias: bool = False
+    # re-center each sub-ray bundle so its weighted-mean ray equals the
+    # original ray, removing the RBK gauge-drift mode structurally
+    # (framework addition; False = reference — see models/rbk.py)
+    rbk_center_bundle: bool = False
+    # SND noise head on/off (ablation aid; True = reference behavior).
+    # False removes the noise MLP from the blur-stage forward entirely.
+    use_snd: bool = True
     # far anchor depth in ray-lengths (see models/lushnerf.py)
     rbk_anchor_depth: float = 8.0
     use_coarse_to_fine_opt: bool = False
@@ -138,7 +145,7 @@ class Config:
     consist_threshold: float = 0.8
     consist_num_pixels: int = 32
     rematch_interval: int = 20000
-    matcher: str = "none"  # 'none' | 'precomputed' | 'dkm' | 'stub'
+    matcher: str = "none"  # 'none' | 'precomputed' | 'dkm' | 'stub' | 'gt'
     match_table_path: str = ""
     dkm_ckpt_path: str = ""  # gim_dkm_100h.ckpt (or LUSHNERF_DKM_CKPT env)
 
@@ -295,6 +302,7 @@ class Config:
             rv_window=self.rbk_se_rv_window,
             use_origin=self.rbk_use_origin,
             zero_head_bias=self.rbk_zero_head_bias,
+            center_bundle=self.rbk_center_bundle,
         )
 
     def lush_config(self, near: float = 0.0, far: float = 1.0) -> LushConfig:
@@ -312,4 +320,5 @@ class Config:
             far=far,
             rbk_anchor_reg=self.rbk_anchor_reg,
             rbk_anchor_depth=self.rbk_anchor_depth,
+            use_snd=self.use_snd,
         )

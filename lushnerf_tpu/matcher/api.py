@@ -110,6 +110,101 @@ class GridStubMatcher:
 
 
 @dataclasses.dataclass
+class GroundTruthMatcher:
+    """Geometry-exact matcher for synthetic scenes with known depth.
+
+    Emits the correspondences a perfect dense matcher would: a grid of
+    pixels in view k is unprojected through the view's z-depth map,
+    transformed to world, and reprojected into view v; certainty is high
+    where the reprojection lands in-bounds AND the target view's depth
+    agrees (i.e. the point is not occluded there), zero otherwise.  This
+    feeds the CTE stage real, non-identity, variable-certainty
+    correspondence structure — the semantics of the reference's frozen
+    DKMv3 matches (run_lushnerf.py:745-774) — without pretrained weights.
+
+    Construction uses the TRAINING-frame geometry: `poses` are the
+    post-LLFF-load camera-to-world matrices of the matched views (in
+    render order), `focal`/`H`/`W` the full-resolution intrinsics, and
+    `depths` [V, H, W] z-depth maps in the SAME world units (i.e. raw
+    scene depths times the loader's bd rescale factor; np.inf = sky).
+
+    Matching is index-based (`match_idx`) — image content is ignored —
+    so it is deterministic and trivially identical across hosts.
+    """
+
+    poses: np.ndarray  # [V, 3, 4]
+    focal: float
+    H: int
+    W: int
+    depths: np.ndarray  # [V, H, W]
+    n_points: int = 256
+    certainty: float = 0.95
+    occl_rel_tol: float = 0.03  # |z_v - depth_v| <= tol * depth_v => visible
+
+    def match_idx(self, k: int, v: int, img0, img1):
+        h, w = img0.shape[:2]
+        sx, sy = self.W / w, self.H / h  # rendered res -> full res
+
+        g = int(np.ceil(np.sqrt(self.n_points)))
+        # integer full-res pixel indices on a uniform grid (the CTE
+        # consumer floors coords and shoots the pixel-CENTER ray,
+        # train/consistency.py:rays_at_pixels — so correspondences are
+        # computed for exactly those center rays)
+        xs = np.clip(((np.arange(g) + 0.5) * self.W / g - 0.5).round(), 0, self.W - 1)
+        ys = np.clip(((np.arange(g) + 0.5) * self.H / g - 0.5).round(), 0, self.H - 1)
+        gx, gy = np.meshgrid(xs, ys)
+        xi = gx.ravel()[: self.n_points].astype(np.int64)
+        yi = gy.ravel()[: self.n_points].astype(np.int64)
+
+        z = self.depths[k][yi, xi]  # [P]
+        valid = np.isfinite(z) & (z > 0)
+
+        # pixel-center ray in camera frame (ops/rays.get_rays convention:
+        # (i + 0.5 - 0.5W)/f, y flipped, -z forward); with dir_z = -1 the
+        # ray parameter equals z-depth
+        f = self.focal
+        dirs = np.stack(
+            [
+                (xi + 0.5 - 0.5 * self.W) / f,
+                -(yi + 0.5 - 0.5 * self.H) / f,
+                -np.ones_like(xi, np.float64),
+            ],
+            axis=-1,
+        )
+        ck, cv = self.poses[k], self.poses[v]
+        zs = np.where(valid, z, 1.0)
+        p_world = ck[:, 3] + (dirs @ ck[:3, :3].T) * zs[:, None]
+
+        p_cam = (p_world - cv[:, 3]) @ cv[:3, :3]  # R^T (p - t)
+        z_v = -p_cam[:, 2]
+        front = z_v > 1e-6
+        z_v_safe = np.where(front, z_v, 1.0)
+        x_v = p_cam[:, 0] / z_v_safe * f + 0.5 * self.W - 0.5
+        y_v = -p_cam[:, 1] / z_v_safe * f + 0.5 * self.H - 0.5
+        inb = (x_v >= 0) & (x_v <= self.W - 1) & (y_v >= 0) & (y_v <= self.H - 1)
+
+        ok = valid & front & inb
+        # occlusion: the target view must see the same surface there
+        xv_i = np.clip(np.round(x_v), 0, self.W - 1).astype(np.int64)
+        yv_i = np.clip(np.round(y_v), 0, self.H - 1).astype(np.int64)
+        d_v = self.depths[v][yv_i, xv_i]
+        vis = np.isfinite(d_v) & (np.abs(z_v - d_v) <= self.occl_rel_tol * np.maximum(d_v, 1e-6))
+        cert = np.where(ok & vis, self.certainty, 0.0).astype(np.float32)
+
+        k0 = np.stack([xi / sx, yi / sy], -1).astype(np.float32)
+        k1 = np.stack(
+            [np.clip(x_v, 0, self.W - 1) / sx, np.clip(y_v, 0, self.H - 1) / sy], -1
+        ).astype(np.float32)
+        return k0, k1, cert
+
+    def match(self, img0, img1):
+        raise NotImplementedError(
+            "GroundTruthMatcher is index-based; use match_idx(k, v, ...) "
+            "(match_pairs dispatches to it automatically)"
+        )
+
+
+@dataclasses.dataclass
 class PrecomputedMatcher:
     """Serves matches from precomputed tables (frozen-matcher semantics)."""
 
@@ -132,8 +227,12 @@ def match_pairs(matcher: Matcher, images: np.ndarray, pairs):
     full [V, V, ...] tables (trainer.rematch)."""
     first = None
     kpts_l, cert_l = [], []
+    indexed = hasattr(matcher, "match_idx")  # view-identity-aware matchers
     for (k, v) in pairs:
-        k0, k1, c = matcher.match(images[k], images[v])
+        if indexed:
+            k0, k1, c = matcher.match_idx(k, v, images[k], images[v])
+        else:
+            k0, k1, c = matcher.match(images[k], images[v])
         if first is None:
             first = len(c)
         elif len(c) != first:

@@ -71,6 +71,9 @@ class LushConfig:
     # should span the visible scene (forward-facing LLFF content sits at
     # a few ray-lengths from the camera)
     rbk_anchor_depth: float = 8.0
+    # SND noise head in the blur-stage forward (True = reference).  False
+    # (ablation aid) skips the noise MLP and composites rgb_noise = 0.
+    use_snd: bool = True
 
     @property
     def mlp_cfg(self) -> MLPConfig:
@@ -230,11 +233,16 @@ def forward_kernel(
     )
 
     # SND noise on the ORIGINAL rays (render_train_noise, :647).
-    prep_orig = prepare_rays(
-        cfg.render, H, W, focal, rays[..., 0], rays[..., 1], cfg.near, cfg.far
-    )
-    raw_noise = render_rays_noise(params["noise"], cfg.noise_cfg, cfg.render, prep_orig)
-    rgb_noise = NOISE_SCALE * jax.nn.sigmoid(raw_noise)  # [N, 3]
+    if cfg.use_snd:
+        prep_orig = prepare_rays(
+            cfg.render, H, W, focal, rays[..., 0], rays[..., 1], cfg.near, cfg.far
+        )
+        raw_noise = render_rays_noise(
+            params["noise"], cfg.noise_cfg, cfg.render, prep_orig
+        )
+        rgb_noise = NOISE_SCALE * jax.nn.sigmoid(raw_noise)  # [N, 3]
+    else:
+        rgb_noise = jnp.zeros((N, 3), rays.dtype)
 
     rgb_pure = rbk_weighted_sum(out["rgb"].reshape(N, M1, 3), ccw)
     rgb0_pure = rbk_weighted_sum(out["rgb0"].reshape(N, M1, 3), ccw)

@@ -63,6 +63,18 @@ class RBKConfig:
     # zero-mean-blur anchor then has to undo (measured ~3 px of image
     # shift by iter 500 on the synthetic staged run).  False = reference.
     zero_head_bias: bool = False
+    # Framework addition (rbk_center_bundle): re-center every sub-ray
+    # bundle so its ccw-weighted mean ray EXACTLY equals the original ray.
+    # The RBK parameterization has a flat gauge direction — shift every
+    # sub-ray (and therefore the reconstructed sharp scene) off the pixel
+    # grid and the blur composite reproduces the same training images —
+    # which the soft anchor penalty (rbk_anchor_reg) only damps: measured
+    # residual drift of 1-2 px that differs run-to-run and dtype-to-dtype
+    # (BF16_NOTE round 3).  Projecting the mean out removes the mode
+    # structurally: the blur centroid coincides with the original camera
+    # ray at every depth, for any parameter value, so eval renders are
+    # pinned to the GT pixel grid by construction.  False = reference.
+    center_bundle: bool = False
 
     @property
     def num_rays_out(self) -> int:
@@ -181,6 +193,14 @@ def apply_rbk(params: Params, cfg: RBKConfig, rays: jnp.ndarray, image_idx: jnp.
         sub_rays = jnp.concatenate([orig, warped], axis=1)  # [N, M+1, 3, 2]
     else:
         sub_rays = warped
+    if cfg.center_bundle:
+        # Pin the bundle's weighted-mean ray to the original ray (see
+        # RBKConfig.center_bundle).  Differentiable in both the warps and
+        # the composite weights; with ccw summing to 1 the subtraction is
+        # exact: sum_i ccw_i (sub_i - (mean - orig)) == orig.
+        mean_sub = jnp.einsum("nm,nmdc->ndc", ccw, sub_rays)
+        orig_ray = jnp.stack([rays_o, rays_d], axis=-1)  # [N, 3, 2]
+        sub_rays = sub_rays - (mean_sub - orig_ray)[:, None]
     return sub_rays, ccw
 
 

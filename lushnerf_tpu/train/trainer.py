@@ -280,6 +280,41 @@ class Trainer:
             from lushnerf_tpu.matcher.api import GridStubMatcher
 
             self._matcher = GridStubMatcher()
+        if self._matcher is None and cfg.matcher == "gt":
+            # geometry-exact matcher for synthetic scenes with stored
+            # depth maps (scripts/make_synthetic_scene.py writes depth/):
+            # real non-identity correspondences + occlusion-aware
+            # certainty, no pretrained weights needed (matcher/api.py)
+            from lushnerf_tpu.matcher.api import GroundTruthMatcher
+
+            dd = Path(cfg.datadir)
+            depth_files = sorted((dd / "depth").glob("*.npy"))
+            if len(depth_files) != n:
+                raise FileNotFoundError(
+                    f"matcher=gt needs one depth/NNN.npy per view in "
+                    f"{dd} (found {len(depth_files)}, expected {n})"
+                )
+            # depth values scale with the loader's bd rescale (llff.py:271);
+            # recentering is rigid so camera-frame z-depth is otherwise
+            # unchanged
+            raw_bds = np.load(dd / "poses_bounds.npy")[:, -2:]
+            sc = 1.0 / (raw_bds.min() * 0.75)
+            depths = np.stack([np.load(p) for p in depth_files]).astype(np.float32) * sc
+            if depths.shape[1:] != (self.H, self.W):
+                import cv2
+
+                depths = np.stack([
+                    cv2.resize(d, (self.W, self.H), interpolation=cv2.INTER_NEAREST)
+                    for d in depths
+                ])
+            self._matcher = GroundTruthMatcher(
+                poses=self.poses[self.i_train],
+                focal=self.focal,
+                H=self.H,
+                W=self.W,
+                depths=depths[self.i_train],
+                n_points=1024,
+            )
         if self._matcher is None and cfg.matcher == "dkm":
             from lushnerf_tpu.matcher.dkm import DKMMatcher
 

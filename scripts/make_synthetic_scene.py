@@ -144,14 +144,17 @@ def motion_blur(img, length, angle, rng):
     return cv2.filter2D(img, -1, k)
 
 
-def degrade(img, rng):
+def degrade(img, rng, blur_min=4, blur_max=9):
     """Bright-sharp [H,W,3] in [0,1] -> dark, blurred, noisy capture.
 
     Linear exposure drop (matching how the LOL-BlurNeRF synthetic scenes
     are produced — a tone curve here would shift chroma in a way the
-    CLAHE-on-V preprocessing cannot undo, poisoning eval PSNR vs GT)."""
+    CLAHE-on-V preprocessing cannot undo, poisoning eval PSNR vs GT).
+    blur_min/blur_max: per-image motion-blur kernel length range in px
+    (default 4-9 = mild handheld shake; the heavy-blur ablation scene
+    uses 12-20, where a blur-model-free NeRF must bake the blur in)."""
     dark = 0.20 * img
-    blurred = motion_blur(dark, rng.integers(4, 9), rng.uniform(0, np.pi), rng)
+    blurred = motion_blur(dark, rng.integers(blur_min, blur_max), rng.uniform(0, np.pi), rng)
     shot = rng.normal(0.0, 1.0, img.shape) * np.sqrt(np.maximum(blurred, 1e-4)) * 0.015
     read = rng.normal(0.0, 0.008, img.shape)
     return np.clip(blurred + shot + read, 0.0, 1.0)
@@ -169,18 +172,24 @@ def nerf_c2w_to_llff(c2w):
 
 
 def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2,
-               clean_test_every=8):
+               clean_test_every=8, blur_min=4, blur_max=9):
     """Ray-trace + degrade + write the LLFF scene.  Returns the out Path.
 
     clean_test_every: like LOL-BlurNeRF, every k-th view (the llffhold
     test split) is stored CLEAN bright-sharp in images/ — training uses
     the degraded views, eval PSNR measures recovery against real GT.
-    0 = degrade everything."""
+    0 = degrade everything.
+
+    Also writes depth/NNN.npy — the per-pixel z-depth of each view (in the
+    scene's world units, np.inf on sky pixels) — which the ablation
+    harness feeds to GroundTruthMatcher for geometry-exact CTE
+    correspondences (no pretrained matcher weights in this env)."""
     import imageio.v2 as imageio
 
     out = Path(outdir)
     (out / "images").mkdir(parents=True, exist_ok=True)
     (out / "gt").mkdir(parents=True, exist_ok=True)
+    (out / "depth").mkdir(parents=True, exist_ok=True)
 
     ss = supersample
     focal = 1.1 * W
@@ -205,14 +214,21 @@ def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2,
         ro, rd = camera_rays(H * ss, W * ss, focal * ss, c2w)
         rgb, t = trace(ro, rd)
         rgb = rgb.reshape(H, ss, W, ss, 3).mean((1, 3))  # supersampled AA
-        zdepth = -(
-            (t.reshape(H, ss, W, ss) * rd[..., 2].reshape(H, ss, W, ss))
-        )[np.isfinite(t.reshape(H, ss, W, ss))]
+        # z-depth (-z in camera frame) per supersampled ray; world frame
+        # dirs have unnormalized z, so z = t * (-rd_z)
+        zmap_ss = t.reshape(H, ss, W, ss) * (-rd[..., 2].reshape(H, ss, W, ss))
+        zdepth = zmap_ss[np.isfinite(zmap_ss)]
         depths.append((np.percentile(zdepth, 1), np.percentile(zdepth, 99)))
+        # per-pixel depth map at output res: the center subsample's depth
+        # (a true depth of a ray through the pixel, ~1/(2*ss) px off-center;
+        # the GT matcher's occlusion tolerance absorbs edge pixels)
+        zmap = zmap_ss[:, ss // 2, :, ss // 2].astype(np.float32)
+        np.save(out / "depth" / f"{vi:03d}.npy", zmap)
 
         gt8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(out / "gt" / f"{vi:03d}.png", gt8)
-        cap = degrade(rgb, rng)  # always drawn: keeps the rng stream fixed
+        # always drawn: keeps the rng stream fixed
+        cap = degrade(rgb, rng, blur_min, blur_max)
         is_test = clean_test_every and vi % clean_test_every == 0
         imageio.imwrite(out / "images" / f"{vi:03d}.png",
                         gt8 if is_test else (cap * 255).astype(np.uint8))
@@ -243,9 +259,12 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--supersample", type=int, default=2)
+    ap.add_argument("--blur-min", type=int, default=4)
+    ap.add_argument("--blur-max", type=int, default=9)
     args = ap.parse_args()
     make_scene(args.outdir, n=args.n, H=args.res, W=args.res,
-               seed=args.seed, supersample=args.supersample)
+               seed=args.seed, supersample=args.supersample,
+               blur_min=args.blur_min, blur_max=args.blur_max)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Ablation matrix: prove the LuSh stack earns its complexity (VERDICT r3
+next #1).
+
+Round-3 context: on the mild-blur synthetic scene the full stack (26.9 dB
+peak, declining after 4k) LOST to a blur-model-free NeRF control
+(27.45 dB), and CTE had only ever trained with the identity-grid stub.
+This harness runs the decisive matrix:
+
+  scenes:   mild  (motion blur 4-9 px — the r3 scene)
+            heavy (motion blur 14-22 px — deblurring must matter)
+  variants: control   — plain NeRF, no RBK/SND/CTE (the bar to beat)
+            rbk       — + RBK blur kernel only
+            rbk_snd   — + RBK + SND noise head
+            full_gt   — + RBK + SND + CTE with geometry-true matches
+                        (GroundTruthMatcher: non-identity correspondences
+                        + occlusion-aware certainty)
+            full_stub — + RBK + SND + CTE with the identity-grid stub
+                        (isolates whether stub-CTE caused the r3 decline)
+
+All variants share seed, data order, schedule (kernel@300,
+allkernel+consist@2000, rematch@2500), 8k iters, eval every 1k, and the
+shipped flagship compute path (pallas backend, bf16 compute) with the
+round-4 structural gauge fix (rbk_center_bundle + rbk_zero_head_bias).
+
+Run:  python scripts/run_ablation.py <workdir> [--iters 8000]
+Then: python scripts/collect_ablation.py <workdir>   -> LONGRUN_r04.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SCENES = {
+    "mild": dict(blur_min=4, blur_max=9),
+    "heavy": dict(blur_min=14, blur_max=22),
+}
+
+COMMON = [
+    "--factor", "1",
+    "--llffhold", "8",
+    "--kernel_start_iter", "300",
+    "--allkernel_start_iter", "2000",
+    "--rematch_interval", "2500",
+    "--fq_threshold", "30",
+    "--mlp_backend", "pallas",
+    "--mlp_compute_dtype", "bfloat16",
+    "--rbk_center_bundle",
+    "--rbk_zero_head_bias",
+    "--render_factor", "2",
+    "--i_print", "100",
+    "--i_weights", "1000000",
+    "--no_reload",
+    "--tbdir", "",
+]
+
+VARIANTS = {
+    # blur-model-free NeRF: the reference's own baseline to beat
+    # (/root/reference/run_lushnerf.py:625-661 premise)
+    "control": ["--blur_model_type", "none", "--matcher", "none",
+                "--noisenerf_start_iter", "1000000000"],
+    "rbk": ["--use_snd", "False", "--matcher", "none",
+            "--noisenerf_start_iter", "1000000000"],
+    "rbk_snd": ["--matcher", "none", "--noisenerf_start_iter", "1000000000"],
+    "full_gt": ["--matcher", "gt", "--noisenerf_start_iter", "2000"],
+    "full_stub": ["--matcher", "stub", "--noisenerf_start_iter", "2000"],
+}
+
+MATRIX = [
+    ("heavy", "control"),
+    ("heavy", "rbk"),
+    ("heavy", "rbk_snd"),
+    ("heavy", "full_gt"),
+    ("mild", "control"),
+    ("mild", "full_gt"),
+    ("mild", "full_stub"),
+]
+
+
+def ensure_scene(workdir: Path, name: str):
+    scene = workdir / f"scene_{name}"
+    if not (scene / "poses_bounds.npy").exists():
+        from scripts.make_synthetic_scene import make_scene
+
+        make_scene(scene, n=20, H=256, W=256, seed=0, supersample=2,
+                   **SCENES[name])
+    return scene
+
+
+def run_one(scene: Path, exp_dir: Path, variant: str, iters: int):
+    from lushnerf_tpu.config import Config
+    from lushnerf_tpu.train.trainer import Trainer
+
+    argv = [
+        "--config", str(REPO / "configs" / "poster"),
+        "--datadir", str(scene),
+        "--basedir", str(exp_dir.parent),
+        "--expname", exp_dir.name,
+        "--N_iters", str(iters),
+        "--i_testset", "1000",
+    ] + COMMON + VARIANTS[variant]
+    cfg = Config.from_args(argv)
+    trainer = Trainer(cfg)
+    trainer.setup()
+    t0 = time.time()
+    trainer.train()
+    wall = time.time() - t0
+    (exp_dir / "DONE.json").write_text(json.dumps({
+        "variant": variant, "iters": iters, "wall_s": wall,
+    }))
+    print(f"[ablation] {exp_dir} done in {wall:.0f}s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir")
+    ap.add_argument("--iters", type=int, default=8000)
+    ap.add_argument("--only", default="", help="comma list scene:variant filters")
+    args = ap.parse_args()
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    only = [tuple(s.split(":")) for s in args.only.split(",") if s]
+    for scene_name, variant in MATRIX:
+        if only and (scene_name, variant) not in only:
+            continue
+        scene = ensure_scene(workdir, scene_name)
+        exp_dir = workdir / scene_name / variant
+        if (exp_dir / "DONE.json").exists():
+            print(f"[ablation] skip {exp_dir} (done)")
+            continue
+        print(f"=== {scene_name} / {variant} ===", flush=True)
+        run_one(scene, exp_dir, variant, args.iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""GroundTruthMatcher: geometry-exact CTE correspondences on the
+synthetic scene (VERDICT r3 next #7) + the bundle-centering gauge fix
+(VERDICT r3 weak #2) + the SND ablation switch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    from scripts.make_synthetic_scene import make_scene
+
+    out = tmp_path_factory.mktemp("gtscene")
+    make_scene(out, n=6, H=64, W=64, seed=3, supersample=1, clean_test_every=0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def loaded(scene):
+    from lushnerf_tpu.data.llff import load_llff_data
+
+    data = load_llff_data(scene, factor=1, recenter=True, bd_factor=0.75)
+    poses = data.poses[:, :3, :4]
+    hwf = data.poses[0, :3, -1]
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    raw_bds = np.load(scene / "poses_bounds.npy")[:, -2:]
+    sc = 1.0 / (raw_bds.min() * 0.75)
+    depths = np.stack(
+        [np.load(p) for p in sorted((scene / "depth").glob("*.npy"))]
+    ).astype(np.float32) * sc
+    return poses, H, W, focal, depths
+
+
+def _matcher(loaded, n_points=64):
+    from lushnerf_tpu.matcher.api import GroundTruthMatcher
+
+    poses, H, W, focal, depths = loaded
+    return GroundTruthMatcher(
+        poses=poses, focal=focal, H=H, W=W, depths=depths, n_points=n_points
+    )
+
+
+def test_self_match_is_identity(loaded):
+    m = _matcher(loaded)
+    img = np.zeros((64, 64, 3), np.float32)
+    k0, k1, c = m.match_idx(0, 0, img, img)
+    assert c.max() > 0
+    conf = c > 0
+    np.testing.assert_allclose(k0[conf], k1[conf], atol=0.75)
+
+
+def test_cross_view_matches_are_nonidentity_and_cycle_consistent(loaded):
+    """k->v matches must show real parallax, and reprojecting the matched
+    v-pixel back through v's depth must land on the source pixel."""
+    m = _matcher(loaded, n_points=256)
+    poses, H, W, focal, depths = loaded
+    img = np.zeros((H, W, 3), np.float32)
+    k, v = 0, 3
+    k0, k1, c = m.match_idx(k, v, img, img)
+    conf = c > 0
+    assert conf.sum() > 30  # plenty of covisible, unoccluded points
+    # real parallax: matched coordinates differ from identity for most pts
+    disp = np.linalg.norm(k1[conf] - k0[conf], axis=-1)
+    assert np.median(disp) > 0.5, f"matches look like the identity grid: {np.median(disp)}"
+
+    # cycle: match v -> k on the same grid machinery
+    b0, b1, cb = m.match_idx(v, k, img, img)
+    # unproject k0 through view k depth, project into v == k1 (already
+    # what match_idx did); now verify the *independent* v->k direction
+    # agrees where both are confident: for each confident k->v match,
+    # find the v->k grid point nearest to k1 and check its target is
+    # near k0 (depth-map quantization allows ~1.5 px)
+    src = b0[cb > 0]
+    dst = b1[cb > 0]
+    errs = []
+    for a, b in zip(k1[conf][:50], k0[conf][:50]):
+        d2 = np.sum((src - a) ** 2, axis=-1)
+        j = int(np.argmin(d2))
+        if d2[j] < 4.0**2:  # a grid point close to the matched pixel
+            # linear approx: the cycle error = |dst_j + (a - src_j)*J - b|;
+            # just require the coarse agreement within grid spacing
+            errs.append(np.linalg.norm(dst[j] - b))
+    assert len(errs) > 10
+    assert np.median(errs) < 6.0  # grid spacing is 4 px at 64x64/16x16
+
+
+def test_occlusion_gives_zero_certainty(loaded):
+    """Points behind the big spheres in the target view are flagged."""
+    m = _matcher(loaded, n_points=1024)
+    poses, H, W, focal, depths = loaded
+    img = np.zeros((H, W, 3), np.float32)
+    total_conf = 0
+    any_occluded = False
+    for v in range(1, 6):
+        k0, k1, c = m.match_idx(0, v, img, img)
+        total_conf += int((c > 0).sum())
+        # in-bounds but occluded points exist in this scene geometry
+        if ((c == 0).sum()) > 0:
+            any_occluded = True
+    assert total_conf > 1000
+    assert any_occluded
+
+
+def test_table_build_and_sampling(loaded):
+    from lushnerf_tpu.matcher.api import build_match_tables
+
+    m = _matcher(loaded, n_points=64)
+    poses, H, W, focal, depths = loaded
+    imgs = np.zeros((6, H, W, 3), np.float32)
+    tables = build_match_tables(m, imgs)
+    assert tables.kpts.shape == (6, 6, 64, 4)
+    rng = np.random.default_rng(0)
+    anchor, pix, cert = tables.sample_anchor(rng, 8)
+    assert pix.shape == (6, 8, 2) and cert.shape == (6, 8)
+
+
+# ---------------------------------------------------------------------------
+# bundle centering
+# ---------------------------------------------------------------------------
+
+
+def test_center_bundle_pins_weighted_mean():
+    from lushnerf_tpu.models.rbk import RBKConfig, apply_rbk, init_rbk
+
+    cfg = RBKConfig(num_images=4, num_motion=4, use_origin=True, center_bundle=True)
+    # large rv_window + random params => visible warps
+    cfg = cfg.__class__(**{**cfg.__dict__, "rv_window": 0.5})
+    params = init_rbk(jax.random.PRNGKey(0), cfg)
+    # blow up the head weights so warps are far from identity
+    params["r_out"] = (params["r_out"][0] * 1e5, params["r_out"][1])
+    params["v_out"] = (params["v_out"][0] * 1e5, params["v_out"][1])
+
+    rng = np.random.default_rng(0)
+    rays = jnp.asarray(rng.standard_normal((16, 3, 2)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 4, 16, dtype=np.int32))
+    sub, ccw = apply_rbk(params, cfg, rays, idx)
+    mean = jnp.einsum("nm,nmdc->ndc", ccw, sub)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(rays), atol=1e-5)
+    # and the bundle is NOT degenerate (sub-rays differ from each other)
+    spread = jnp.std(sub, axis=1).max()
+    assert float(spread) > 1e-3
+
+
+def test_center_bundle_zeroes_anchor_drift():
+    """With centering on, forward_kernel's rbk_drift is ~0 by construction."""
+    from lushnerf_tpu.config import Config
+
+    from lushnerf_tpu.models.lushnerf import forward_kernel, init_lush_params
+
+    cfg = Config(
+        num_images=3, N_samples=10, N_importance=4, netdepth=2, netwidth=16,
+        netdepth_fine=2, netwidth_fine=16, multires=4, multires_views=2,
+        use_viewdirs=True, blur_model_type="dpnerf", rbk_use_origin=True,
+        rbk_num_motion=2, rbk_view_embed_ch=8, rbk_enc_brc_width=8,
+        rbk_se_r_width=8, rbk_se_v_width=8, rbk_ccw_width=8,
+        rbk_center_bundle=True, tone_mapping_type="gamma", point_chunk=0,
+    )
+    lc = cfg.lush_config()
+    params = init_lush_params(jax.random.PRNGKey(0), lc)
+    rng = np.random.default_rng(1)
+    rays_o = (0.1 * rng.standard_normal((8, 3))).astype(np.float32)
+    rays_d = rng.standard_normal((8, 3)).astype(np.float32)
+    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.5
+    rays = jnp.asarray(np.stack([rays_o, rays_d], axis=-1))
+    idx = jnp.asarray(rng.integers(0, 3, 8, dtype=np.int32))
+    out = forward_kernel(params, lc, 16, 16, 12.0, rays, idx, jax.random.PRNGKey(2))
+    assert float(out["rbk_drift"]) < 1e-9
+
+
+def test_use_snd_false_removes_noise():
+    from lushnerf_tpu.config import Config
+    from lushnerf_tpu.models.lushnerf import forward_kernel, init_lush_params
+
+    base = dict(
+        num_images=3, N_samples=10, N_importance=4, netdepth=2, netwidth=16,
+        netdepth_fine=2, netwidth_fine=16, multires=4, multires_views=2,
+        use_viewdirs=True, blur_model_type="dpnerf", rbk_use_origin=True,
+        rbk_num_motion=2, rbk_view_embed_ch=8, rbk_enc_brc_width=8,
+        rbk_se_r_width=8, rbk_se_v_width=8, rbk_ccw_width=8,
+        tone_mapping_type="gamma", point_chunk=0,
+    )
+    rng = np.random.default_rng(1)
+    rays_o = (0.1 * rng.standard_normal((8, 3))).astype(np.float32)
+    rays_d = rng.standard_normal((8, 3)).astype(np.float32)
+    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.5
+    rays = jnp.asarray(np.stack([rays_o, rays_d], axis=-1))
+    idx = jnp.asarray(rng.integers(0, 3, 8, dtype=np.int32))
+
+    outs = {}
+    for use_snd in (True, False):
+        cfg = Config(use_snd=use_snd, **base)
+        lc = cfg.lush_config()
+        params = init_lush_params(jax.random.PRNGKey(0), lc)
+        outs[use_snd] = forward_kernel(
+            params, lc, 16, 16, 12.0, rays, idx, jax.random.PRNGKey(2)
+        )
+    assert float(jnp.abs(outs[False]["rgb_noise"]).max()) == 0.0
+    assert float(jnp.abs(outs[True]["rgb_noise"]).max()) > 0.0
+    # pure (no-noise) branches agree between the two models
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["rgb_pure"]), np.asarray(outs[False]["rgb_pure"]),
+        atol=1e-6,
+    )
