@@ -62,13 +62,32 @@ DEFAULT_TILE = (2048, 1024)
 
 def _tile_pair(tile) -> Tuple[int, int]:
     if isinstance(tile, tuple):
-        return tile
+        tf, tb = tile
+        # max(tf, tb) is used as the padding granularity; that is only a
+        # valid lcm when one tile divides the other — otherwise the grid
+        # division in _fwd_call/_bwd_call would silently truncate and drop
+        # trailing real points (ADVICE r3 low #1).
+        assert max(tf, tb) % min(tf, tb) == 0, (
+            f"fwd/bwd tiles must nest (one divide the other), got {tile}"
+        )
+        return tf, tb
     return (tile, tile)
 # Mosaic's default scoped-VMEM budget (16 MB) would cap the tile at 512 for
 # the backward pass; v5e/v4 have 128 MB VMEM per core, so raise the
 # per-kernel limit and let tiles grow (bigger tiles amortize per-tile
 # PE/VPU work and weight-grad accumulation against the MXU matmuls).
 VMEM_LIMIT = 100 * 1024 * 1024
+
+# Run pallas_call in (pure, shardable) interpret mode — used by the
+# multi-device CPU dryrun, where force_tpu_interpret_mode's io_callback
+# cannot live inside a GSPMD-partitioned program.  Set via
+# set_interpret(); never enabled on real TPUs.
+_INTERPRET = False
+
+
+def set_interpret(on: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(on)
 
 # number of padded parameter arrays in the flat tuple
 # order: W0, W1, W2, W3, W4, W5a, W5b, W6, W7, Wa, Wf, Wvf, Wvd, Wr,
@@ -396,6 +415,7 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
         out_specs=out_specs if emit_pe else out_specs[0],
         out_shape=out_shapes if emit_pe else out_shapes[0],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_INTERPRET,
     )(xd, C, *w)
     return out
 
@@ -520,6 +540,7 @@ def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_INTERPRET,
     )(xd, C, g, pe, *w)
     return outs[0], tuple(outs[1:])
 
@@ -581,26 +602,53 @@ def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile=DEFAULT_T
 
     Only the narrow packed [P, 8] (xyz, dir) array crosses HBM; the PE
     expansion to 63+27 channels happens inside the kernel.
+
+    Multi-device: GSPMD cannot partition a Mosaic custom call, so under a
+    registered >1-device mesh (parallel/mesh.set_kernel_mesh) the kernel
+    is wrapped in shard_map over the point axis — each device runs the
+    kernel on its local ray shard; shard_map's transpose psums the weight
+    cotangents over 'data', which IS the data-parallel gradient
+    all-reduce for the MLP parameters.
     """
     if not supports(mlp_cfg, render_cfg):
         raise NotImplementedError(
             "fused kernel supports the reference MLP family only "
             f"(depth={mlp_cfg.depth}, width={mlp_cfg.width}, skips={mlp_cfg.skips})"
         )
+    from lushnerf_tpu.parallel.mesh import get_kernel_mesh
+
     R, S = pts.shape[0], pts.shape[1]
     P = R * S
     x = pts.reshape(P, 3)
     d = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(P, 3)
 
+    mesh = get_kernel_mesh()
+    n_dev = mesh.size if mesh is not None else 1
+
     tf, tb = _tile_pair(tile)
     tile_lcm = max(tf, tb)  # both are powers of two
-    P_pad = -(-P // tile_lcm) * tile_lcm
+    quantum = tile_lcm * n_dev  # every device's local slice tiles evenly
+    P_pad = -(-P // quantum) * quantum
     xd = jnp.concatenate([x, d], axis=-1).astype(F32)
     xd = jnp.pad(xd, ((0, P_pad - P), (0, XD_CH - xd.shape[-1])))
 
     w = pad_params(params, mlp_cfg.width)
-    raw = fused_mlp_packed(
-        w, xd, tile, render_cfg.mlp_compute_dtype,
-        render_cfg.multires, render_cfg.multires_views,
+    run = functools.partial(
+        fused_mlp_packed,
+        tile=tile,
+        compute_dtype=render_cfg.mlp_compute_dtype,
+        num_freqs_x=render_cfg.multires,
+        num_freqs_d=render_cfg.multires_views,
     )
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PS
+
+        axis = mesh.axis_names[0]
+        run = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(PS(), PS(axis)),  # weights replicated, points sharded
+            out_specs=PS(axis),
+            check_vma=False,
+        )
+    raw = run(w, xd)
     return raw[:P].reshape(R, S, 4)

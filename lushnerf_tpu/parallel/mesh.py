@@ -54,6 +54,33 @@ def make_mesh(shape: Optional[Sequence[int]] = None, axis_names: Sequence[str] =
     return Mesh(devices, tuple(axis_names[: devices.ndim]))
 
 
+# ---------------------------------------------------------------------------
+# kernel mesh registry
+# ---------------------------------------------------------------------------
+#
+# GSPMD cannot partition a Mosaic custom call: under a >1-device mesh the
+# fused pallas MLP would be implicitly all-gathered and run REPLICATED on
+# every chip — silently destroying data-parallel scaling of the hot loop.
+# The idiomatic fix is shard_map around the kernel (each device runs the
+# kernel on its local ray shard; cotangents of the replicated weights are
+# psum-ed by shard_map's transpose, which IS the gradient all-reduce).
+# The renderer is mesh-agnostic, so the active mesh is registered here by
+# the trainer / entry point and picked up by ops/fused/nerf_mlp.py.
+
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+    """Register (or clear, with None) the mesh the fused kernels shard
+    over.  A 1-device mesh is treated as no mesh."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh if (mesh is not None and mesh.size > 1) else None
+
+
+def get_kernel_mesh() -> Optional[Mesh]:
+    return _KERNEL_MESH
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (ray) axis of every leaf over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -67,6 +67,11 @@ class Trainer:
             [int(s) for s in cfg.mesh_shape.split(",") if s] or None,
             tuple(cfg.mesh_axes.split(",")),
         )
+        # fused pallas kernels shard via shard_map over this mesh (GSPMD
+        # cannot partition the Mosaic custom call — parallel/mesh.py)
+        from lushnerf_tpu.parallel.mesh import set_kernel_mesh
+
+        set_kernel_mesh(self.mesh)
         self._step_fns: Dict[str, Any] = {}
         self._setup_done = False
 
@@ -729,9 +734,15 @@ class Trainer:
         rgbs = np.stack(rgbs)
         depths = np.stack(depths)
         to8 = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+        # disparity images, reference convention (run_lushnerf.py:503-531):
+        # disp = 1 - depth (NDC depth in [0,1]), normalized by the GLOBAL
+        # max over all rendered frames, saved next to each rgb / as a video
+        disps = 1.0 - depths
+        disps = to8(disps / max(float(disps.max()), 1e-8))
         if render_test:
             for vi, rgb in enumerate(rgbs):
                 imageio.imwrite(out_dir / f"{vi:03d}.png", to8(rgb))
+                imageio.imwrite(out_dir / f"{vi:03d}_disp.png", disps[vi])
             # renders are at the eval (render_factor-downsampled) resolution;
             # compare against GT at the same res (VERDICT r2 weak #5)
             gt = self._gt_at_eval_res(self.i_test)
@@ -742,9 +753,12 @@ class Trainer:
             with open(self.metrics_file, "a") as f:
                 f.write(f"**[Evaluation]** : PSNR:{res['psnr']:.8f} SSIM:{res['ssim']:.8f}\n")
             return res
+        prefix = "epi_" if self.cfg.render_epi else ""
         try:
-            imageio.mimwrite(out_dir / "video.mp4", to8(rgbs), fps=30, quality=9)
+            imageio.mimwrite(out_dir / f"{prefix}video.mp4", to8(rgbs), fps=30, quality=9)
+            imageio.mimwrite(out_dir / f"{prefix}video_disp.mp4", disps, fps=30, quality=9)
         except Exception:
             for vi, rgb in enumerate(rgbs):
                 imageio.imwrite(out_dir / f"path_{vi:03d}.png", to8(rgb))
+                imageio.imwrite(out_dir / f"path_{vi:03d}_disp.png", disps[vi])
         return {"frames": len(rgbs)}

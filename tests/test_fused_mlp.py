@@ -74,6 +74,41 @@ def test_gradient_parity(setup):
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=2e-3, atol=1e-4)
 
 
+def test_sharded_kernel_parity_and_grads(setup):
+    """shard_map-wrapped kernel (8-device CPU mesh, pure interpret mode)
+    must match the unsharded kernel exactly — forward AND the psum-ed
+    weight/point gradients (the multi-device path GSPMD cannot express
+    for a Mosaic custom call; parallel/mesh.py kernel-mesh registry)."""
+    from lushnerf_tpu.parallel.mesh import make_mesh, set_kernel_mesh
+
+    mlp_cfg, render_cfg, params, pts, dirs = setup
+
+    def loss(params, pts, dirs):
+        raw = fused.eval_points_fused(params, mlp_cfg, render_cfg, pts, dirs, tile=8)
+        return jnp.sum(jnp.sin(raw) * jnp.arange(4))
+
+    fused.set_interpret(True)
+    try:
+        ref_out = fused.eval_points_fused(params, mlp_cfg, render_cfg, pts, dirs, tile=8)
+        ref_g = jax.grad(loss, argnums=(0, 1))(params, pts, dirs)
+
+        mesh = make_mesh([8])
+        set_kernel_mesh(mesh)
+        try:
+            got = jax.jit(
+                lambda p, x, d: fused.eval_points_fused(p, mlp_cfg, render_cfg, x, d, tile=8)
+            )(params, pts, dirs)
+            got_g = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, pts, dirs)
+        finally:
+            set_kernel_mesh(None)
+    finally:
+        fused.set_interpret(False)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out), rtol=1e-5, atol=1e-6)
+    for lx, lf in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=1e-4, atol=1e-5)
+
+
 def test_supports_gates_architecture():
     render_cfg = RenderConfig()
     good = MLPConfig(depth=8, width=256, input_ch=63, input_ch_views=27)

@@ -157,6 +157,23 @@ def test_render_only_render_test_with_render_factor(tmp_path):
     res = trainer.render_only(render_test=True)
     assert np.isfinite(res["psnr"])
     assert -1 <= res["ssim"] <= 1
+    # per-frame disparity saved next to each rgb (run_lushnerf.py:506-512)
+    out_dir = trainer.exp_dir / "renderonly_test_000000"
+    assert (out_dir / "000_disp.png").exists()
+
+
+def test_render_only_path_writes_video_and_disp(tmp_path):
+    """Path mode writes video.mp4 + video_disp.mp4 (run_lushnerf.py:529-531),
+    or per-frame pngs incl. disp when no video encoder exists."""
+    cfg = tiny_config(tmp_path, render_factor=2)
+    trainer = Trainer(cfg, data=synthetic_scene())
+    trainer.setup()
+    res = trainer.render_only(render_test=False)
+    assert res["frames"] == 1
+    out_dir = trainer.exp_dir / "renderonly_path_000000"
+    has_video = (out_dir / "video.mp4").exists() and (out_dir / "video_disp.mp4").exists()
+    has_pngs = (out_dir / "path_000.png").exists() and (out_dir / "path_000_disp.png").exists()
+    assert has_video or has_pngs
 
 
 def test_batch_sharding_over_mesh(tmp_path):
