@@ -225,6 +225,11 @@ def match_pairs(matcher: Matcher, images: np.ndarray, pairs):
     work unit for striping a rematch across processes: each host matches
     its subset of the V*V pairs and the results are allgathered back into
     full [V, V, ...] tables (trainer.rematch)."""
+    if hasattr(matcher, "match_many"):
+        # cached fast path (DKMMatcher): V encoder passes + batched
+        # single-direction decoder launches instead of a full symmetric
+        # pass per ordered pair
+        return matcher.match_many(images, list(pairs))
     first = None
     kpts_l, cert_l = [], []
     indexed = hasattr(matcher, "match_idx")  # view-identity-aware matchers

@@ -117,6 +117,46 @@ def _forward_symmetric(params, query, support, upsample=False, corresps=None):
     return decoder_forward(params, f_q, f_s, upsample=upsample, **kwargs)
 
 
+def dkm_match_from_pyramids(params, pyr_q, pyr_s):
+    """Single-direction (query -> support) two-pass match for a batch of
+    B pairs whose encoder pyramids are PRECOMPUTED.
+
+    pyr_q / pyr_s: {stride: [B, C, h, w]} feature pyramids of the query /
+    support view of each pair.  Returns (flow [B, hs, ws, 2] in [-1, 1],
+    certainty [B, hs, ws]).
+
+    Equivalence to the reference's symmetric match(): the decoder has no
+    cross-batch coupling (convs / frozen BN / per-image GP solve), so the
+    query half of the symmetric batch computes exactly this.  LuSh keeps
+    ONLY that half (run_lushnerf.py:757-770 reads the first W columns) and
+    matches every ORDERED pair anyway, so the support direction of pair
+    (k, v) is recomputed as the query direction of pair (v, k) — running
+    one direction per ordered pair halves the decoder work with identical
+    consumed outputs.  Caching per-view pyramids further replaces the
+    1,682 per-rematch ResNet passes of the pairwise path with V
+    (VERDICT r3 weak #4 / next #4).
+    """
+    hs, ws = pyr_q[1].shape[-2:]
+    corresps = decoder_forward(params, pyr_q, pyr_s)
+
+    low_res_certainty = interpolate_bilinear(corresps[16]["dense_certainty"], (hs, ws))
+    low_res_certainty = 0.5 * low_res_certainty * (low_res_certainty < 0)
+
+    corresps = decoder_forward(
+        params, pyr_q, pyr_s, upsample=True,
+        dense_flow=corresps[1]["dense_flow"],
+        dense_certainty=corresps[1]["dense_certainty"],
+    )
+
+    flow = jnp.transpose(corresps[1]["dense_flow"], (0, 2, 3, 1))  # [B, hs, ws, 2]
+    certainty = corresps[1]["dense_certainty"] - low_res_certainty
+    certainty = jax.nn.sigmoid(certainty)[:, 0]
+    wrong = jnp.sum((jnp.abs(flow) > 1).astype(jnp.int32), axis=-1) > 0
+    certainty = jnp.where(wrong, 0.0, certainty)
+    flow = jnp.clip(flow, -1, 1)
+    return flow, certainty
+
+
 def dkm_match(params, im0: jnp.ndarray, im1: jnp.ndarray, hs: int = 640, ws: int = 1120):
     """RegressionMatcher.match (symmetric, upsample_preds) for one pair.
 
@@ -173,7 +213,10 @@ class DKMMatcher:
     hs: int = 640
     ws: int = 1120
     max_columns: int = 65536
+    pair_batch: int = 4  # ordered pairs per decoder launch in match_many
     _jitted: object = None
+    _jitted_encode: object = None
+    _jitted_batch: object = None
 
     @classmethod
     def from_pretrained(cls, ckpt_path: Optional[str] = None, **kw) -> "DKMMatcher":
@@ -212,3 +255,65 @@ class DKMMatcher:
             idx = np.linspace(0, len(cert) - 1, self.max_columns).astype(int)
             kpts0, kpts1, cert = kpts0[idx], kpts1[idx], cert[idx]
         return kpts0.astype(np.float32), kpts1.astype(np.float32), cert.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # cached many-pair path (the rematch fast path)
+    # ------------------------------------------------------------------
+
+    def _to_kpts(self, flow: np.ndarray, cert: np.ndarray, H: int, W: int):
+        """[hs, ws, 2] flow + [hs, ws] certainty -> (kpts0, kpts1, cert)
+        in the image's pixel coords, exactly as match() post-processes."""
+        coords = np.asarray(meshgrid_coords(self.hs, self.ws))  # [hs, ws, 2]
+        matches = np.concatenate([coords, flow], axis=-1).reshape(-1, 4)
+        c = cert.reshape(-1)
+        kpts0 = np.stack(
+            [W * (matches[:, 0] + 1) / 2, H * (matches[:, 1] + 1) / 2], -1
+        )
+        kpts1 = np.stack(
+            [W * (matches[:, 2] + 1) / 2, H * (matches[:, 3] + 1) / 2], -1
+        )
+        if self.max_columns and len(c) > self.max_columns:
+            idx = np.linspace(0, len(c) - 1, self.max_columns).astype(int)
+            kpts0, kpts1, c = kpts0[idx], kpts1[idx], c[idx]
+        return kpts0.astype(np.float32), kpts1.astype(np.float32), c.astype(np.float32)
+
+    def match_many(self, images: np.ndarray, pairs):
+        """Match an explicit list of ordered (k, v) pairs over a view set.
+
+        images: [V, H, W, 3] float32.  Returns (kpts [n_pairs, P, 4],
+        certainty [n_pairs, P]) — the same values the per-pair match()
+        loop produces for the query direction, at ~V encoder passes +
+        n_pairs/pair_batch single-direction decoder launches instead of
+        n_pairs full symmetric passes (see dkm_match_from_pyramids).
+        """
+        if self._jitted_encode is None:
+            self._jitted_encode = jax.jit(
+                lambda p, im: resnet50_pyramid(
+                    p, interpolate_bilinear(im[None], (self.hs, self.ws))
+                )
+            )
+            self._jitted_batch = jax.jit(dkm_match_from_pyramids)
+
+        H, W = images.shape[1:3]
+        needed = sorted({k for k, v in pairs} | {v for k, v in pairs})
+        pyr = {}
+        for vi in needed:  # V encoder passes, cached on device
+            im = jnp.asarray(images[vi].transpose(2, 0, 1), jnp.float32)
+            pyr[vi] = self._jitted_encode(self.params, im)
+
+        pb = max(1, self.pair_batch)
+        kpts_l, cert_l = [], []
+        for lo in range(0, len(pairs), pb):
+            chunk = list(pairs[lo : lo + pb])
+            n_real = len(chunk)
+            while len(chunk) < pb:  # pad to the jitted batch size
+                chunk.append(chunk[-1])
+            pyr_q = {s: jnp.concatenate([pyr[k][s] for k, _ in chunk]) for s in pyr[chunk[0][0]]}
+            pyr_s = {s: jnp.concatenate([pyr[v][s] for _, v in chunk]) for s in pyr[chunk[0][0]]}
+            flow, cert = self._jitted_batch(self.params, pyr_q, pyr_s)
+            flow, cert = np.asarray(flow), np.asarray(cert)
+            for bi in range(n_real):
+                k0, k1, c = self._to_kpts(flow[bi], cert[bi], H, W)
+                kpts_l.append(np.concatenate([k0, k1], -1))
+                cert_l.append(c)
+        return np.stack(kpts_l), np.stack(cert_l)
