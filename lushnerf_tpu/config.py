@@ -136,6 +136,12 @@ class Config:
     # SND noise head on/off (ablation aid; True = reference behavior).
     # False removes the noise MLP from the blur-stage forward entirely.
     use_snd: bool = True
+    # gamma-tonemap input floor (framework addition; 0.0 = reference.
+    # Guards the x^(1/2.2) gradient pole when dark-pixel radiance
+    # saturates to exactly 0 — see models/tonemap.py)
+    tonemap_eps: float = 0.0
+    # global-norm gradient clip (framework addition; 0.0 = reference/off)
+    grad_clip_norm: float = 0.0
     # far anchor depth in ray-lengths (see models/lushnerf.py)
     rbk_anchor_depth: float = 8.0
     use_coarse_to_fine_opt: bool = False
@@ -321,4 +327,5 @@ class Config:
             rbk_anchor_reg=self.rbk_anchor_reg,
             rbk_anchor_depth=self.rbk_anchor_depth,
             use_snd=self.use_snd,
+            tonemap_eps=self.tonemap_eps,
         )

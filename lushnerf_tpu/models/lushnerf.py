@@ -74,6 +74,9 @@ class LushConfig:
     # SND noise head in the blur-stage forward (True = reference).  False
     # (ablation aid) skips the noise MLP and composites rgb_noise = 0.
     use_snd: bool = True
+    # gamma-tonemap input floor (0.0 = reference; see models/tonemap.py —
+    # guards the x^(1/2.2) gradient pole at saturated-dark pixels)
+    tonemap_eps: float = 0.0
 
     @property
     def mlp_cfg(self) -> MLPConfig:
@@ -182,9 +185,10 @@ def forward_naive(
     )
     raw_noise = render_rays_noise(params["noise"], cfg.noise_cfg, cfg.render, prepared)
     rgb_noise = NOISE_SCALE * jax.nn.sigmoid(raw_noise)
+    tmap = lambda v: apply_tonemap(params["tonemap"], tm, v, cfg.tonemap_eps)
     return {
-        "rgb_blur": apply_tonemap(params["tonemap"], tm, out["rgb"]),
-        "rgb0_blur": apply_tonemap(params["tonemap"], tm, out.get("rgb0", out["rgb"])),
+        "rgb_blur": tmap(out["rgb"]),
+        "rgb0_blur": tmap(out.get("rgb0", out["rgb"])),
         "rgb_noise": rgb_noise,
         "depth": out["depth"],
         "acc": out["acc"],
@@ -268,13 +272,14 @@ def forward_kernel(
         + jnp.sum((drift_o + Z * drift_d) ** 2, axis=-1)
     )
 
+    tmap = lambda v: apply_tonemap(params["tonemap"], tm, v, cfg.tonemap_eps)
     return {
         "rbk_drift": rbk_drift,
-        "rgb_blur": apply_tonemap(params["tonemap"], tm, rgb_pure + rgb_noise),
-        "rgb0_blur": apply_tonemap(params["tonemap"], tm, rgb0_pure + rgb_noise),
+        "rgb_blur": tmap(rgb_pure + rgb_noise),
+        "rgb0_blur": tmap(rgb0_pure + rgb_noise),
         "rgb_noise": rgb_noise,
-        "rgb_pure": apply_tonemap(params["tonemap"], tm, rgb_pure),
-        "rgb0_pure": apply_tonemap(params["tonemap"], tm, rgb0_pure),
+        "rgb_pure": tmap(rgb_pure),
+        "rgb0_pure": tmap(rgb0_pure),
         "depth": depth,
         "acc": acc,
         "ccw": ccw,
@@ -356,7 +361,7 @@ def render_warped_view(
     flat = jnp.transpose(sub_rays, (1, 0, 2, 3)).reshape(M1 * H * W, 3, 2)
     rgb, _, depth = render_rays_chunked_eval(params, cfg, H, W, K[0][0], flat, ray_chunk)
     tm = cfg.tone_mapping_type
-    rgb = apply_tonemap(params["tonemap"], tm, rgb).reshape(M1, H, W, 3)
+    rgb = apply_tonemap(params["tonemap"], tm, rgb, cfg.tonemap_eps).reshape(M1, H, W, 3)
     return rgb, depth.reshape(M1, H, W), centre
 
 
@@ -378,8 +383,8 @@ def render_image(
     rays = jnp.stack([rays_o, rays_d], axis=-1).reshape(-1, 3, 2)
     rgb, raw_noise, depth = render_rays_chunked_eval(params, cfg, H, W, K[0][0], rays, ray_chunk)
     tm = cfg.tone_mapping_type
-    rgb = apply_tonemap(params["tonemap"], tm, rgb).reshape(H, W, 3)
+    rgb = apply_tonemap(params["tonemap"], tm, rgb, cfg.tonemap_eps).reshape(H, W, 3)
     noise_img = apply_tonemap(
-        params["tonemap"], tm, NOISE_SCALE * jax.nn.sigmoid(raw_noise)
+        params["tonemap"], tm, NOISE_SCALE * jax.nn.sigmoid(raw_noise), cfg.tonemap_eps
     ).reshape(H, W, 3)
     return rgb, noise_img, depth.reshape(H, W)

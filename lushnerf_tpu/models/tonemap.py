@@ -44,10 +44,22 @@ def _mlp(layers, x):
     return linear(layers[-1], x)
 
 
-def apply_tonemap(params: Params, map_type: str, x: jnp.ndarray) -> jnp.ndarray:
+def apply_tonemap(params: Params, map_type: str, x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """eps (framework addition, 0.0 = reference): floor the gamma input at
+    eps.  d/dx x^(1/2.2) = (1/2.2) x^(-6/11) is a POLE at x=0, and f32
+    sigmoid saturates to exactly 0.0 for logits < ~-103, so a training
+    path that drives dark-pixel radiance to saturation (measured: the SND
+    head explaining dark pixels away on the heavy-blur synthetic scene)
+    meets an infinite gradient and NaNs the whole model in one step — the
+    torch reference has the same pole (x ** (1./2.2),
+    run_lushnerf_helpers.py:173) and the same failure mode.  eps=1e-4
+    bounds the gamma gradient at ~30 while changing no value above eps
+    (~2.6 gray levels of floor)."""
     if map_type == "none":
         return x
     if map_type == "gamma":
+        if eps > 0.0:
+            x = jnp.maximum(x, eps)
         return x ** (1.0 / 2.2)
     if map_type == "learn":
         shape = x.shape

@@ -206,7 +206,14 @@ class Trainer:
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             self.params = init_lush_params(init_key, self.lush_cfg)
         schedule = lambda count: cfg.lrate * (0.1 ** (count / (cfg.lrate_decay * 1000.0)))
-        self.optimizer = optax.adam(learning_rate=schedule)
+        if cfg.grad_clip_norm > 0:
+            # framework addition (off by default = reference behavior)
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm),
+                optax.adam(learning_rate=schedule),
+            )
+        else:
+            self.optimizer = optax.adam(learning_rate=schedule)
         self.opt_state = self.optimizer.init(self.params)
         self.start_step = 0
 
@@ -617,19 +624,25 @@ class Trainer:
     def render_pose(self, c2w):
         # One cached jitted image-render (re-tracing per pose would pay the
         # full compile cost each call); pose is a traced argument.  Renders
-        # at the render_factor-downsampled eval resolution.
+        # at the render_factor-downsampled eval resolution.  Explicit
+        # replicated in/out shardings: the fused kernel shard_maps over the
+        # global mesh inside, and the outputs must come back fully
+        # replicated so every process can fetch them (a plain jit would
+        # return a non-addressable global array under multi-host).
         if not hasattr(self, "_render_image_jit"):
-            self._render_image_jit = jax.jit(
-                partial(
-                    render_image,
-                    cfg=self.lush_cfg,
-                    H=self.H_eval,
-                    W=self.W_eval,
+            rep = replicated_sharding(self.mesh)
+
+            def _render(params, K, c2w):
+                return render_image(
+                    params, self.lush_cfg, self.H_eval, self.W_eval, K, c2w,
                     ray_chunk=self.cfg.ray_chunk_eval,
                 )
+
+            self._render_image_jit = jax.jit(
+                _render, in_shardings=(rep, rep, rep), out_shardings=rep
             )
         return self._render_image_jit(
-            self.params, K=jnp.asarray(self.K_eval), c2w=jnp.asarray(c2w)
+            self.params, jnp.asarray(self.K_eval), jnp.asarray(c2w)
         )
 
     def eval_testset(self, i: int, save: bool = True):

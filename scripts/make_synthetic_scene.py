@@ -144,7 +144,7 @@ def motion_blur(img, length, angle, rng):
     return cv2.filter2D(img, -1, k)
 
 
-def degrade(img, rng, blur_min=4, blur_max=9):
+def degrade(img, rng, blur_min=4, blur_max=9, noise_scale=1.0):
     """Bright-sharp [H,W,3] in [0,1] -> dark, blurred, noisy capture.
 
     Linear exposure drop (matching how the LOL-BlurNeRF synthetic scenes
@@ -152,11 +152,15 @@ def degrade(img, rng, blur_min=4, blur_max=9):
     CLAHE-on-V preprocessing cannot undo, poisoning eval PSNR vs GT).
     blur_min/blur_max: per-image motion-blur kernel length range in px
     (default 4-9 = mild handheld shake; the heavy-blur ablation scene
-    uses 12-20, where a blur-model-free NeRF must bake the blur in)."""
+    uses 14-22, where a blur-model-free NeRF must bake the blur in).
+    noise_scale: multiplies the shot/read sigmas.  At >=4x the clip at 0
+    makes the sensor noise BIASED on dark pixels (the negative tail is
+    cut), which multi-view averaging cannot remove — the regime the SND
+    head exists for."""
     dark = 0.20 * img
     blurred = motion_blur(dark, rng.integers(blur_min, blur_max), rng.uniform(0, np.pi), rng)
-    shot = rng.normal(0.0, 1.0, img.shape) * np.sqrt(np.maximum(blurred, 1e-4)) * 0.015
-    read = rng.normal(0.0, 0.008, img.shape)
+    shot = rng.normal(0.0, 1.0, img.shape) * np.sqrt(np.maximum(blurred, 1e-4)) * 0.015 * noise_scale
+    read = rng.normal(0.0, 0.008 * noise_scale, img.shape)
     return np.clip(blurred + shot + read, 0.0, 1.0)
 
 
@@ -172,7 +176,7 @@ def nerf_c2w_to_llff(c2w):
 
 
 def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2,
-               clean_test_every=8, blur_min=4, blur_max=9):
+               clean_test_every=8, blur_min=4, blur_max=9, noise_scale=1.0):
     """Ray-trace + degrade + write the LLFF scene.  Returns the out Path.
 
     clean_test_every: like LOL-BlurNeRF, every k-th view (the llffhold
@@ -228,7 +232,7 @@ def make_scene(outdir, n=20, H=256, W=256, seed=0, supersample=2,
         gt8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(out / "gt" / f"{vi:03d}.png", gt8)
         # always drawn: keeps the rng stream fixed
-        cap = degrade(rgb, rng, blur_min, blur_max)
+        cap = degrade(rgb, rng, blur_min, blur_max, noise_scale)
         is_test = clean_test_every and vi % clean_test_every == 0
         imageio.imwrite(out / "images" / f"{vi:03d}.png",
                         gt8 if is_test else (cap * 255).astype(np.uint8))
@@ -261,10 +265,12 @@ def main():
     ap.add_argument("--supersample", type=int, default=2)
     ap.add_argument("--blur-min", type=int, default=4)
     ap.add_argument("--blur-max", type=int, default=9)
+    ap.add_argument("--noise-scale", type=float, default=1.0)
     args = ap.parse_args()
     make_scene(args.outdir, n=args.n, H=args.res, W=args.res,
                seed=args.seed, supersample=args.supersample,
-               blur_min=args.blur_min, blur_max=args.blur_max)
+               blur_min=args.blur_min, blur_max=args.blur_max,
+               noise_scale=args.noise_scale)
 
 
 if __name__ == "__main__":

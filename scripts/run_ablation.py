@@ -43,6 +43,9 @@ sys.path.insert(0, str(REPO))
 SCENES = {
     "mild": dict(blur_min=4, blur_max=9),
     "heavy": dict(blur_min=14, blur_max=22),
+    # heavy blur + 4x sensor noise: the 0-clip biases dark-pixel noise,
+    # which multi-view averaging cannot remove — SND's target regime
+    "harsh": dict(blur_min=14, blur_max=22, noise_scale=4.0),
 }
 
 COMMON = [
@@ -56,6 +59,10 @@ COMMON = [
     "--mlp_compute_dtype", "bfloat16",
     "--rbk_center_bundle",
     "--rbk_zero_head_bias",
+    # guard the gamma-tonemap gradient pole (measured: the SND head drives
+    # dark-pixel radiance to f32-sigmoid saturation on the heavy-blur
+    # scene and the x^(1/2.2) grad at exactly 0 NaN'ed the run)
+    "--tonemap_eps", "1e-4",
     "--render_factor", "2",
     "--i_print", "100",
     "--i_weights", "1000000",
@@ -83,6 +90,10 @@ MATRIX = [
     ("mild", "control"),
     ("mild", "full_gt"),
     ("mild", "full_stub"),
+    ("harsh", "control"),
+    ("harsh", "rbk"),
+    ("harsh", "rbk_snd"),
+    ("harsh", "full_gt"),
 ]
 
 

@@ -171,6 +171,31 @@ def test_center_bundle_zeroes_anchor_drift():
     assert float(out["rbk_drift"]) < 1e-9
 
 
+def test_gamma_tonemap_pole_and_eps_guard():
+    """d/dx x^(1/2.2) is a pole at x=0 (f32 sigmoid saturates to exactly
+    0 for logits < ~-103, so training CAN reach it — it NaN'ed the
+    heavy-blur SND run); tonemap_eps=1e-4 bounds the gradient while
+    changing nothing above eps."""
+    from lushnerf_tpu.models.tonemap import apply_tonemap
+
+    g = jax.grad(lambda x: jnp.sum(apply_tonemap({}, "gamma", x)))
+    x0 = jnp.array([0.0, 0.5])
+    assert not bool(jnp.isfinite(g(x0)).all())  # the reference's pole
+
+    g_eps = jax.grad(lambda x: jnp.sum(apply_tonemap({}, "gamma", x, eps=1e-4)))
+    gv = g_eps(x0)
+    assert bool(jnp.isfinite(gv).all())
+    assert float(gv.max()) < 40.0
+    # values above eps are untouched
+    x1 = jnp.array([0.001, 0.5, 1.0])
+    np.testing.assert_array_equal(
+        np.asarray(apply_tonemap({}, "gamma", x1, eps=1e-4)),
+        np.asarray(apply_tonemap({}, "gamma", x1)),
+    )
+    # f32 sigmoid really does saturate to exactly 0
+    assert float(jax.nn.sigmoid(jnp.float32(-110.0))) == 0.0
+
+
 def test_use_snd_false_removes_noise():
     from lushnerf_tpu.config import Config
     from lushnerf_tpu.models.lushnerf import forward_kernel, init_lush_params
