@@ -193,6 +193,7 @@ def unpad_param_grads(grads: Tuple[jnp.ndarray, ...], params, width: int = 256):
 # so the combined lanes contribute nothing to the wrong branch.
 PE_ROWS = 16
 XD_CH = 8  # packed input lanes: 0:3 xyz, 3:6 viewdir, 6:8 zero pad
+OUT_CH = 8  # packed output lanes: 0:3 rgb, 3 alpha, 4:8 zero pad
 HALF_PI = float(np.pi / 2)
 
 
@@ -379,9 +380,13 @@ def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False):
     _, pe = _pe_forward(xd_ref[...], c_ref[...])
     acts = _fwd_activations(pe, w, compute_dtype)
     alpha, rgb = acts[8], acts[11]
-    # out lanes: 0:3 rgb, 3 alpha (alpha lives in lane 0 of its buffer)
+    # out lanes: 0:3 rgb, 3 alpha (alpha lives in lane 0 of its buffer),
+    # 4:8 zero pad.  The store is OUT_CH=8 lanes wide, not 128: only 4
+    # lanes are live, and the narrow layout cuts the kernel's output HBM
+    # traffic (and the consumer's reads) 16x — measured part of the
+    # ~5.9 ms/step XLA-glue tax at the custom-call boundary (PROFILE_r03).
     out = jnp.concatenate(
-        [rgb[:, :3], alpha[:, :1], jnp.zeros_like(rgb[:, : LANES - 4])], axis=-1
+        [rgb[:, :3], alpha[:, :1], jnp.zeros_like(rgb[:, : OUT_CH - 4])], axis=-1
     )
     out_ref[...] = out
     if emit_pe:
@@ -403,8 +408,9 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
     ]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w]
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_specs = [tile_spec]
-    out_shapes = [jax.ShapeDtypeStruct((P, LANES), F32)]
+    out_spec = pl.BlockSpec((tile, OUT_CH), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_specs = [out_spec]
+    out_shapes = [jax.ShapeDtypeStruct((P, OUT_CH), F32)]
     if emit_pe:
         out_specs.append(tile_spec)
         out_shapes.append(jax.ShapeDtypeStruct((P, LANES), jnp.dtype(compute_dtype)))
@@ -455,8 +461,16 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
         preferred_element_type=F32, precision=prec,
     )  # a @ b^T
 
-    g_rgb = jnp.concatenate([g[:, :3], jnp.zeros_like(g[:, : LANES - 3])], axis=-1)
-    g_alpha = jnp.concatenate([g[:, 3:4], jnp.zeros_like(g[:, : LANES - 1])], axis=-1)
+    # g arrives OUT_CH=8 lanes wide (lanes 0:3 rgb cotangent, 3 alpha);
+    # expand to the 128-lane registers the transposed matmuls consume
+    T = g.shape[0]
+    zpad = jnp.zeros((T, LANES - OUT_CH), F32)
+    g_rgb = jnp.concatenate(
+        [g[:, :3], jnp.zeros((T, OUT_CH - 3), F32), zpad], axis=-1
+    )
+    g_alpha = jnp.concatenate(
+        [g[:, 3:4], jnp.zeros((T, OUT_CH - 1), F32), zpad], axis=-1
+    )
 
     relu_m = lambda a: (a > 0.0).astype(F32)
 
@@ -522,6 +536,7 @@ def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
     grid = P // tile
     C = jnp.asarray(_pe_consts_np(num_freqs_x, num_freqs_d))
     xd_spec = pl.BlockSpec((tile, XD_CH), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((tile, OUT_CH), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w]
     acc_specs = [
@@ -535,7 +550,7 @@ def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
         grid=(grid,),
-        in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), tile_spec,
+        in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), g_spec,
                   tile_spec] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -571,7 +586,7 @@ def _fused_fwd(w, xd, tile, compute_dtype, num_freqs_x, num_freqs_d):
 def _fused_bwd(tile, compute_dtype, num_freqs_x, num_freqs_d, res, g4):
     w, xd, pe = res
     _, tb = _tile_pair(tile)
-    g = jnp.pad(g4, ((0, 0), (0, LANES - 4)))
+    g = jnp.pad(g4, ((0, 0), (0, OUT_CH - 4)))
     dxd, dw = _bwd_call(w, xd, g, pe, tb, jnp.dtype(compute_dtype),
                         num_freqs_x, num_freqs_d)
     return dw, dxd

@@ -9,7 +9,13 @@ port had only ever executed at 64x96 — this script runs the real shape
 with random weights (the checkpoint converts through the same tested
 path), measures per-pair wall-clock + HBM, and projects full-rematch cost.
 
-Writes DKM_PROD_r03.json at the repo root.
+Round 4 additionally measures the cached rematch fast path
+(matcher.match_many: per-view encoder pyramids encoded once + batched
+single-direction decoder — VERDICT r3 next #4 asked for steady_pair_s
+<= ~0.35 with parity intact; parity is golden-tested in
+tests/test_dkm.py::test_match_many_cached_parity_with_per_pair_match).
+
+Writes DKM_PROD_r04.json at the repo root.
 
 Run:  python scripts/bench_dkm_production.py [--hs 640] [--ws 1120]
 """
@@ -100,18 +106,40 @@ def main():
           f"{total/60:.1f} min per host "
           f"(striped over P hosts: {total/60:.1f}/P min)")
 
+    # ---- cached fast path (match_many): encoder cache + batched
+    # single-direction decoder.  Timed over enough pairs to amortize the
+    # per-chunk pyramid assembly; first call includes its own compiles.
+    n_bench_pairs = 12
+    bench_pairs = [(i % 3, (i + 1) % 3) for i in range(n_bench_pairs)]
+    t0 = time.perf_counter()
+    kpts, cert = matcher.match_many(imgs, bench_pairs)
+    t_many_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    kpts, cert = matcher.match_many(imgs, bench_pairs)
+    t_many = time.perf_counter() - t0
+    t_pair_cached = t_many / n_bench_pairs
+    assert np.isfinite(kpts).all()
+    total_cached = pairs * t_pair_cached
+    print(f"cached path: {t_pair_cached:.3f} s/pair steady "
+          f"(first batch incl. compile {t_many_first:.1f} s); projected "
+          f"rematch {total_cached/60:.1f} min per host")
+
     out = {
         "shape": [args.hs, args.ws],
         "first_pair_s": round(t_first, 2),
         "steady_pair_s": round(t_pair, 3),
+        "cached_pair_s": round(t_pair_cached, 3),
+        "speedup_cached": round(t_pair / t_pair_cached, 2),
+        "pair_batch": matcher.pair_batch,
         "peak_hbm_gib": round(peak / 2**30, 3),
         "views": V,
         "ordered_pairs": pairs,
         "projected_rematch_min_per_host": round(total / 60, 1),
+        "projected_rematch_min_per_host_cached": round(total_cached / 60, 1),
         "device": dev.device_kind,
     }
-    (REPO / "DKM_PROD_r03.json").write_text(json.dumps(out, indent=1))
-    print("wrote DKM_PROD_r03.json")
+    (REPO / "DKM_PROD_r04.json").write_text(json.dumps(out, indent=1))
+    print("wrote DKM_PROD_r04.json")
 
 
 if __name__ == "__main__":
