@@ -169,6 +169,7 @@ class Config:
     ray_chunk_eval: int = 4096
     mlp_backend: str = "xla"  # 'xla' | 'pallas'
     mlp_compute_dtype: str = "float32"  # 'bfloat16' for full-rate MXU
+    pallas_tile: str = ""  # "F" or "F,B" point-tile override; "" = default
     param_dtype: str = "float32"
     seed: int = 0
 
@@ -287,7 +288,14 @@ class Config:
             point_chunk=self.point_chunk,
             mlp_backend=self.mlp_backend,
             mlp_compute_dtype=self.mlp_compute_dtype,
+            mlp_tile=self._parse_tile(),
         )
+
+    def _parse_tile(self) -> tuple:
+        if not self.pallas_tile:
+            return (0, 0)
+        parts = [int(p) for p in str(self.pallas_tile).split(",") if p]
+        return (parts[0], parts[-1]) if parts else (0, 0)
 
     def rbk_config(self) -> RBKConfig:
         return RBKConfig(

@@ -72,6 +72,10 @@ class RenderConfig:
     # 'bfloat16'); accumulation is always f32.  bf16 runs the MXU at full
     # rate; f32 needs multiple passes.
     mlp_compute_dtype: str = "float32"
+    # (fwd, bwd) pallas point-tile override; (0, 0) = the kernel's
+    # measured DEFAULT_TILE.  Exposed for tuning and for interpret-mode
+    # runs where a single big tile keeps the traced grid short.
+    mlp_tile: tuple = (0, 0)
 
     @property
     def pe_x(self) -> PositionalEncoding:
@@ -132,7 +136,9 @@ def eval_points(
         from lushnerf_tpu.ops.fused import nerf_mlp as fused
 
         if fused.supports(mlp_cfg, cfg):
-            return fused.eval_points_fused(params, mlp_cfg, cfg, pts, viewdirs)
+            tile = cfg.mlp_tile if cfg.mlp_tile != (0, 0) else fused.DEFAULT_TILE
+            return fused.eval_points_fused(params, mlp_cfg, cfg, pts, viewdirs,
+                                           tile=tile)
         # architectures outside the kernel family (e.g. the small noise
         # MLP) fall back to the XLA path below
 

@@ -51,13 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 LANES = 128
-# Tiles swept on a v5e (scripts/tune_kernel.py, round 3): the forward
-# kernel peaks at tile 2048 (7.8 ms, 174 TF/s = 88% of peak, vs 10.1 ms
-# at 1024), while the backward — whose recomputed activations (~12 arrays
-# of [tile, 256] f32) pressure VMEM — still prefers 1024 (35.8 ms fwd+bwd
-# vs 39.8 at 2048).  DEFAULT_TILE therefore carries a (fwd, bwd) pair;
-# plain ints are accepted everywhere and mean "both".
-DEFAULT_TILE = (2048, 1024)
+# Tiles swept on a v5e with 5 repeated two-length trials per point
+# (scripts/tune_kernel.py, round 4 — ADVICE r3: the round-3 single-trial
+# sweep mis-ranked fwd tile 2048; its "7.8 ms" did not reproduce).
+# Median [min,max] over repeats: fwd 1024 = 10.0 ms [9.6, 10.2] vs
+# 2048 = 9.9 ms [9.4, 11.5] — indistinguishable; fwd+bwd is BEST at
+# 1024 (36.2 ms) and regresses at 2048 (39.6 ms; the backward's ~12
+# recomputed [tile, 256] activation arrays pressure VMEM).  Default is
+# therefore (1024, 1024).  DEFAULT_TILE carries a (fwd, bwd) pair; plain
+# ints are accepted everywhere and mean "both".
+DEFAULT_TILE = (1024, 1024)
 
 
 def _tile_pair(tile) -> Tuple[int, int]:
@@ -373,13 +376,33 @@ def _fwd_activations(pe, w, compute_dtype=jnp.float32):
     return a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb
 
 
+# Split each forward tile into this many independent half-chains: the
+# PE of chain b has no dependency on the matmuls of chain a, so the VLIW
+# scheduler can overlap chain-b VPU transcendentals with chain-a MXU
+# matmuls (the PE is ~28% of the serial forward critical path —
+# tune_kernel r4: PE-only 2.8 ms vs matmul-only 7.9 ms per step).
+# 1 = no split (the r3 behavior).
+PE_PIPELINE_SPLIT = 2
+
+
 def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False):
     n_out = 2 if emit_pe else 1
     w = tuple(r[...] for r in refs[:-n_out])
     out_ref = refs[-n_out]
-    _, pe = _pe_forward(xd_ref[...], c_ref[...])
-    acts = _fwd_activations(pe, w, compute_dtype)
-    alpha, rgb = acts[8], acts[11]
+    xd = xd_ref[...]
+    T = xd.shape[0]
+    split = PE_PIPELINE_SPLIT if (PE_PIPELINE_SPLIT > 1 and T % PE_PIPELINE_SPLIT == 0) else 1
+    if split > 1:
+        h = T // split
+        pes = [_pe_forward(xd[i * h : (i + 1) * h], c_ref[...])[1] for i in range(split)]
+        acts_h = [_fwd_activations(p, w, compute_dtype) for p in pes]
+        pe = jnp.concatenate(pes, axis=0)
+        alpha = jnp.concatenate([a[8] for a in acts_h], axis=0)
+        rgb = jnp.concatenate([a[11] for a in acts_h], axis=0)
+    else:
+        _, pe = _pe_forward(xd, c_ref[...])
+        acts = _fwd_activations(pe, w, compute_dtype)
+        alpha, rgb = acts[8], acts[11]
     # out lanes: 0:3 rgb, 3 alpha (alpha lives in lane 0 of its buffer),
     # 4:8 zero pad.  The store is OUT_CH=8 lanes wide, not 128: only 4
     # lanes are live, and the narrow layout cuts the kernel's output HBM

@@ -152,9 +152,29 @@ def main():
         new_params = optax.apply_updates(params, updates)
         return new_params, opt_state, loss
 
-    k = jax.random.PRNGKey(1)
-    t_sfwd = timed(lambda: fwd_only(params, k))
-    t_step = timed(lambda: step(params, opt_state, k)[2])
+    # Thread params/opt-state through the loop and split a fresh key per
+    # call — the axon tunnel MEMOIZES executions with identical inputs
+    # (measured: a constant-input step 'runs' in <1 ms), so repeated
+    # same-argument calls time the cache, not the chip.  This is the same
+    # chained pattern bench.py uses.
+    def timed_step(fn, iters, key):
+        p, o = params, opt_state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            p, o, loss = fn(p, o, k)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    @jax.jit
+    def fwd_step(p, o, k):  # fwd-only, but still input-varied and chained
+        return p, o, loss_fn(p, k)
+
+    key0 = jax.random.PRNGKey(1)
+    timed_step(step, 2, key0)
+    t_step = max(timed_step(step, 16, key0) - timed_step(step, 4, key0), 1e-9) / 12
+    timed_step(fwd_step, 2, key0)
+    t_sfwd = max(timed_step(fwd_step, 16, key0) - timed_step(fwd_step, 4, key0), 1e-9) / 12
     print(f"step fwd-only: {t_sfwd*1e3:8.2f} ms")
     print(f"full step    : {t_step*1e3:8.2f} ms   {n_rays/t_step:9.0f} rays/s")
     print(f"  mlp share (est): fwd+bwd {t_fb*1e3:.1f} ms of {t_step*1e3:.1f} ms "

@@ -51,9 +51,6 @@ SCENES = {
 COMMON = [
     "--factor", "1",
     "--llffhold", "8",
-    "--kernel_start_iter", "300",
-    "--allkernel_start_iter", "2000",
-    "--rematch_interval", "2500",
     "--fq_threshold", "30",
     "--mlp_backend", "pallas",
     "--mlp_compute_dtype", "bfloat16",
@@ -78,8 +75,10 @@ VARIANTS = {
     "rbk": ["--use_snd", "False", "--matcher", "none",
             "--noisenerf_start_iter", "1000000000"],
     "rbk_snd": ["--matcher", "none", "--noisenerf_start_iter", "1000000000"],
-    "full_gt": ["--matcher", "gt", "--noisenerf_start_iter", "2000"],
-    "full_stub": ["--matcher", "stub", "--noisenerf_start_iter", "2000"],
+    # full variants: noisenerf_start_iter is set to the allkernel gate by
+    # run_one (the reference couples them, run_lushnerf configs: both 60k)
+    "full_gt": ["--matcher", "gt"],
+    "full_stub": ["--matcher", "stub"],
 }
 
 MATRIX = [
@@ -107,18 +106,28 @@ def ensure_scene(workdir: Path, name: str):
     return scene
 
 
-def run_one(scene: Path, exp_dir: Path, variant: str, iters: int):
+def run_one(scene: Path, exp_dir: Path, variant: str, iters: int,
+            gates=None, i_testset=1000):
     from lushnerf_tpu.config import Config
     from lushnerf_tpu.train.trainer import Trainer
 
+    # default gates: the round-3 scaled schedule (kernel@300,
+    # allkernel+consist@2000, rematch@2500); pass gates=(k, a, r) to
+    # override (e.g. reference-proportional for longer runs)
+    k, a, r = gates or (300, 2000, 2500)
     argv = [
         "--config", str(REPO / "configs" / "poster"),
         "--datadir", str(scene),
         "--basedir", str(exp_dir.parent),
         "--expname", exp_dir.name,
         "--N_iters", str(iters),
-        "--i_testset", "1000",
+        "--i_testset", str(i_testset),
+        "--kernel_start_iter", str(k),
+        "--allkernel_start_iter", str(a),
+        "--rematch_interval", str(r),
     ] + COMMON + VARIANTS[variant]
+    if variant.startswith("full"):
+        argv += ["--noisenerf_start_iter", str(a)]
     cfg = Config.from_args(argv)
     trainer = Trainer(cfg)
     trainer.setup()
@@ -136,21 +145,28 @@ def main():
     ap.add_argument("workdir")
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--only", default="", help="comma list scene:variant filters")
+    ap.add_argument("--gates", default="",
+                    help="kernel,allkernel,rematch gate override, e.g. "
+                         "'240,12000,4000' (reference-proportional at 20k)")
+    ap.add_argument("--i-testset", type=int, default=1000)
+    ap.add_argument("--tag", default="", help="suffix for exp dirs (schedule variants)")
     args = ap.parse_args()
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
+    gates = tuple(int(x) for x in args.gates.split(",")) if args.gates else None
 
     only = [tuple(s.split(":")) for s in args.only.split(",") if s]
     for scene_name, variant in MATRIX:
         if only and (scene_name, variant) not in only:
             continue
         scene = ensure_scene(workdir, scene_name)
-        exp_dir = workdir / scene_name / variant
+        exp_dir = workdir / scene_name / (variant + args.tag)
         if (exp_dir / "DONE.json").exists():
             print(f"[ablation] skip {exp_dir} (done)")
             continue
-        print(f"=== {scene_name} / {variant} ===", flush=True)
-        run_one(scene, exp_dir, variant, args.iters)
+        print(f"=== {scene_name} / {variant}{args.tag} ===", flush=True)
+        run_one(scene, exp_dir, variant, args.iters, gates=gates,
+                i_testset=args.i_testset)
 
 
 if __name__ == "__main__":

@@ -20,7 +20,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def timed(fn, *args, n_short=4, n_long=16):
+def timed(fn, *args, n_short=4, n_long=16, repeats=1):
+    """Two-length differencing (cancels the tunnel's fixed readback
+    latency), repeated `repeats` times -> median.  ADVICE r3: a single
+    trial mis-ranked the fwd tile sweep (2048 read faster once and did
+    not reproduce); report the spread too."""
     def run(n):
         out = None
         t0 = time.perf_counter()
@@ -30,9 +34,12 @@ def timed(fn, *args, n_short=4, n_long=16):
         return time.perf_counter() - t0
 
     run(2)
-    t_s = run(n_short)
-    t_l = run(n_long)
-    return max(t_l - t_s, 1e-9) / (n_long - n_short)
+    ts = []
+    for _ in range(repeats):
+        t_s = run(n_short)
+        t_l = run(n_long)
+        ts.append(max(t_l - t_s, 1e-9) / (n_long - n_short))
+    return (float(np.median(ts)), float(min(ts)), float(max(ts)))
 
 
 def main():
@@ -70,16 +77,18 @@ def main():
             return jax.grad(loss)(mparams)
 
         try:
-            t_f = timed(mlp_fwd, mparams, xd)
-            msg = f"tile={tile:5d}  fwd {t_f*1e3:7.2f} ms {fl/t_f/1e12:6.1f} TF/s"
+            t_f, lo, hi = timed(mlp_fwd, mparams, xd, repeats=5)
+            msg = (f"tile={tile:5d}  fwd {t_f*1e3:7.2f} ms "
+                   f"[{lo*1e3:.2f},{hi*1e3:.2f}] {fl/t_f/1e12:6.1f} TF/s")
         except Exception as e:
             msg = f"tile={tile:5d}  fwd FAILED: {str(e)[:80]}"
         try:
-            t_fb = timed(mlp_fb, mparams, xd)
-            msg += f"   fwd+bwd {t_fb*1e3:7.2f} ms {3*fl/t_fb/1e12:6.1f} TF/s(3x)"
+            t_fb, lo, hi = timed(mlp_fb, mparams, xd, repeats=5)
+            msg += (f"   fwd+bwd {t_fb*1e3:7.2f} ms "
+                    f"[{lo*1e3:.2f},{hi*1e3:.2f}] {3*fl/t_fb/1e12:6.1f} TF/s(3x)")
         except Exception as e:
             msg += f"   fwd+bwd FAILED: {str(e)[:80]}"
-        print(msg)
+        print(msg, flush=True)
 
     # --- PE-only and matmul-only kernels at tile=512 ----------------------
     tile = 512
@@ -127,8 +136,8 @@ def main():
         )(xpe, *w)
 
     xpe = pe_only(xd)
-    t_pe = timed(pe_only, xd)
-    t_mm = timed(mm_only, xpe, w)
+    t_pe, _, _ = timed(pe_only, xd)
+    t_mm, _, _ = timed(mm_only, xpe, w)
     fl = 2 * macs * P_pad
     print(f"tile={tile}: PE-only {t_pe*1e3:7.2f} ms   matmul-only {t_mm*1e3:7.2f} ms "
           f"({fl/t_mm/1e12:.1f} TF/s)")
