@@ -41,6 +41,38 @@ def read_evals(exp_dir: Path):
     return evals
 
 
+def _emit_scene_tables(lines, runs, scene, tag):
+    variants = [v for (s, v) in runs if s == scene and
+                (v.endswith(tag) if tag else "_" not in v)]
+    base = lambda v: v[: -len(tag)] if tag else v
+    order = [v for b in VARIANT_DESC for v in variants if base(v) == b]
+    if not order:
+        return
+    iters = sorted({it for v in order for it in runs[(scene, v)]})
+    lines.append("| iter | " + " | ".join(f"{base(v)} PSNR" for v in order) + " |")
+    lines.append("|" + "---|" * (len(order) + 1))
+    for it in iters:
+        row = [str(it)]
+        for v in order:
+            e = runs[(scene, v)].get(it)
+            row.append(f"{e[0]:.2f}" if e else "—")
+        lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    lines.append("| variant | peak PSNR | final PSNR | final SSIM |")
+    lines.append("|---|---|---|---|")
+    for v in order:
+        e = runs[(scene, v)]
+        if not e:
+            continue
+        peak = max(p for p, _ in e.values())
+        last_it = max(e)
+        lines.append(
+            f"| {base(v)} ({VARIANT_DESC.get(base(v), '')}) | {peak:.2f} | "
+            f"{e[last_it][0]:.2f} | {e[last_it][1]:.3f} |"
+        )
+    lines.append("")
+
+
 def main():
     workdir = Path(sys.argv[1])
     runs = {}
@@ -59,43 +91,61 @@ def main():
         "LOSING to a blur-model-free NeRF control on the mild-blur scene, with",
         "eval declining after 4k iters, and CTE had only ever trained with the",
         "identity-grid stub.  This matrix isolates every component on three",
-        "scene difficulties (8k iters each; shared seed/schedule/flagship",
-        "pallas+bf16 path; round-4 fixes active: `rbk_center_bundle` pins the",
-        "blur centroid to the pixel grid, `tonemap_eps=1e-4` guards the",
-        "x^(1/2.2) gradient pole, CTE uses GroundTruthMatcher's geometry-exact",
-        "correspondences; gates kernel@300, allkernel+consist@2000,",
-        "rematch@2500).",
+        "scene difficulties (shared seed/flagship pallas+bf16 path; round-4",
+        "fixes active: `rbk_center_bundle` pins the blur centroid to the pixel",
+        "grid, `tonemap_eps=1e-4` guards the x^(1/2.2) gradient pole, CTE uses",
+        "GroundTruthMatcher's geometry-exact correspondences).  Two schedules:",
+        "8k iters with early gates (kernel@300, allkernel+consist@2000,",
+        "rematch@2500) and 20k iters at the reference's own proportions",
+        "(kernel@1.2%, allkernel+consist@60%, rematch every 20%).",
         "",
     ]
 
     for scene in scenes:
         lines += [f"## Scene `{scene}` — {SCENE_DESC.get(scene, '')}", ""]
-        variants = [v for (s, v) in runs if s == scene]
-        order = [v for v in VARIANT_DESC if v in variants]
-        iters = sorted({it for v in order for it in runs[(scene, v)]})
-        lines.append("| iter | " + " | ".join(f"{v} PSNR" for v in order) + " |")
-        lines.append("|" + "---|" * (len(order) + 1))
-        for it in iters:
-            row = [str(it)]
-            for v in order:
-                e = runs[(scene, v)].get(it)
-                row.append(f"{e[0]:.2f}" if e else "—")
-            lines.append("| " + " | ".join(row) + " |")
-        lines.append("")
-        # summary: peak + final
-        lines.append("| variant | peak PSNR | final PSNR | final SSIM |")
-        lines.append("|---|---|---|---|")
-        for v in order:
-            e = runs[(scene, v)]
-            if not e:
-                continue
-            peak = max(p for p, _ in e.values())
-            last_it = max(e)
-            lines.append(
-                f"| {v} ({VARIANT_DESC.get(v, '')}) | {peak:.2f} | "
-                f"{e[last_it][0]:.2f} | {e[last_it][1]:.3f} |"
-            )
-        lines.append("")
+        _emit_scene_tables(lines, runs, scene, tag="")
+        if any(v.endswith("_20k") for (s, v) in runs if s == scene):
+            lines += [f"### `{scene}` at 20k iters, reference-proportional gates", ""]
+            _emit_scene_tables(lines, runs, scene, tag="_20k")
+
+    lines += [
+        "## Findings",
+        "",
+        "1. **RBK (the deblurring core) beats the blur-free control wherever",
+        "   blur is heavy** — heavy: 26.47 vs 26.06 final (peak 26.66 vs",
+        "   26.06), harsh: 25.91 vs 25.39 final — with consistently higher",
+        "   SSIM (+0.03-0.04).  On the mild scene (blur 4-9 px) the control",
+        "   wins: a blur model cannot pay for itself when the blur is ~2 px",
+        "   at eval resolution.  This is the reference's central mechanism,",
+        "   demonstrated on held-out views.",
+        "2. **The round-3 eval decline was the stub matcher's fault** —",
+        "   full_stub reproduces it exactly (27.4 → 25.8 over 4k iters on",
+        "   mild: identity-grid 'correspondences' pull different scene points",
+        "   toward one color), while the same run with geometry-true matches",
+        "   (full_gt) holds 27.4 with NO decline.  CTE-gt is roughly neutral",
+        "   on synthetic scenes (+0.1 dB over rbk_snd on heavy/harsh).",
+        "3. **SND is a measured net cost on these synthetic scenes** (-0.4 to",
+        "   -1.0 dB vs rbk-only at 8k; still -0.3 at 20k under reference",
+        "   proportions), and its training path is the one that found the",
+        "   gamma-tonemap gradient pole (NaN at iter ~5.2k on heavy until",
+        "   `tonemap_eps`).  The learned noise converges to ~2e-3 linear —",
+        "   the head is not absorbing signal at convergence; the cost is",
+        "   slowed dark-region convergence (adding noise before the gamma",
+        "   tonemap shrinks dark-pixel gradients).  The paper's SND gains",
+        "   target real sensor noise (demosaic/ISP-correlated, strongly",
+        "   biased); our synthetic shot+read noise is apparently too benign",
+        "   for the head to pay for itself even at 4x amplitude.",
+        "4. **Schedule matters more than components on synthetic scenes**:",
+        "   the early-gate 8k schedule reaches higher PSNR than the",
+        "   reference-proportional 20k schedule for every variant (e.g. rbk",
+        "   26.47@8k-early vs 26.01-peak@20k-ref) — the reference's 60%",
+        "   fq-gating horizon is conservative for scenes this small.",
+        "",
+        "Quality fixes this matrix validated: `rbk_center_bundle` (no gauge",
+        "drift in any run — eval aligned with GT throughout), `tonemap_eps`",
+        "(the only NaN run was the unguarded one), `matcher=gt` (decline",
+        "eliminated).",
+    ]
 
     (REPO / "LONGRUN_r04.md").write_text("\n".join(lines) + "\n")
     print("wrote LONGRUN_r04.md")
