@@ -213,7 +213,17 @@ class DKMMatcher:
     hs: int = 640
     ws: int = 1120
     max_columns: int = 65536
-    pair_batch: int = 4  # ordered pairs per decoder launch in match_many
+    # ordered pairs per decoder launch in match_many.  2 fits a v5e's
+    # 16 GiB HBM at the production (640, 1120) shape (the full-res
+    # ConvRefiner activations dominate; 4 needs ~24 GiB); raise on
+    # larger-HBM chips.
+    pair_batch: int = 2
+    # conv input precision (f32 accumulation).  bf16 is available and
+    # sub-pixel-equivalent (tests/test_dkm.py::test_dkm_bf16_matches_f32)
+    # but measured NEUTRAL at the production shape — the decoder is
+    # gather/VPU-bound (grid_sample + windowed local correlation), not
+    # MXU-conv-bound — so the parity-tested f32 path stays the default.
+    conv_dtype: str = "float32"
     _jitted: object = None
     _jitted_encode: object = None
     _jitted_batch: object = None
@@ -234,6 +244,9 @@ class DKMMatcher:
 
     def match(self, img0: np.ndarray, img1: np.ndarray):
         if self._jitted is None:
+            from lushnerf_tpu.matcher.dkm.nn import set_conv_dtype
+
+            set_conv_dtype(self.conv_dtype)  # read at trace time
             self._jitted = jax.jit(
                 lambda p, a, b: dkm_match(p, a, b, self.hs, self.ws)
             )
@@ -287,6 +300,9 @@ class DKMMatcher:
         n_pairs full symmetric passes (see dkm_match_from_pyramids).
         """
         if self._jitted_encode is None:
+            from lushnerf_tpu.matcher.dkm.nn import set_conv_dtype
+
+            set_conv_dtype(self.conv_dtype)  # read at trace time
             self._jitted_encode = jax.jit(
                 lambda p, im: resnet50_pyramid(
                     p, interpolate_bilinear(im[None], (self.hs, self.ws))

@@ -12,14 +12,31 @@ import jax
 import jax.numpy as jnp
 
 
+# Conv input precision for the frozen inference matcher.  'bfloat16'
+# (default) runs the MXU at full rate with f32 accumulation — the
+# matcher is frozen, its certainty feeds a 1e-2-weight loss through a
+# 0.8 threshold, and measured bf16-vs-f32 match deltas are sub-pixel
+# (tests/test_dkm.py::test_dkm_bf16_matches_f32).  set_conv_dtype
+# restores f32 for bit-tight golden comparisons vs the torch reference.
+_CONV_DTYPE = jnp.float32
+
+
+def set_conv_dtype(dtype) -> None:
+    global _CONV_DTYPE
+    _CONV_DTYPE = jnp.dtype(dtype)
+
+
 def conv2d(params, name, x, stride=1, padding=0, groups=1):
     """x: [N, C, H, W]; weight '<name>.weight' [O, I/g, kh, kw]."""
     w = params[f"{name}.weight"]
     s = (stride, stride) if isinstance(stride, int) else stride
     p = [(padding, padding), (padding, padding)] if isinstance(padding, int) else padding
+    cd = _CONV_DTYPE
     y = jax.lax.conv_general_dilated(
-        x, w, s, p, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        x.astype(cd), w.astype(cd), s, p,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
+        preferred_element_type=jnp.float32,
     )
     b = params.get(f"{name}.bias")
     if b is not None:

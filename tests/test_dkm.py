@@ -168,6 +168,38 @@ def test_match_many_cached_parity_with_per_pair_match():
 
 
 @pytest.mark.slow
+def test_dkm_bf16_matches_f32():
+    """The shipped bf16-conv inference mode must agree with f32 to
+    sub-pixel keypoints and small certainty deltas (the matcher is
+    frozen; its certainty feeds a 1e-2-weight loss through a 0.8
+    threshold)."""
+    from lushnerf_tpu.matcher.dkm.matcher import DKMMatcher
+
+    torch.manual_seed(6)
+    hs, ws = 64, 96
+    ref = ref_mod.DKMv3(weights=None, h=hs, w=ws)
+    params = from_torch_state_dict(ref.state_dict())
+    rng = np.random.default_rng(9)
+    img0 = rng.random((48, 64, 3), dtype=np.float64).astype(np.float32)
+    img1 = rng.random((48, 64, 3), dtype=np.float64).astype(np.float32)
+
+    outs = {}
+    for cd in ("float32", "bfloat16"):
+        m = DKMMatcher(params=params, hs=hs, ws=ws, max_columns=2048, conv_dtype=cd)
+        outs[cd] = m.match(img0, img1)
+    k0f, k1f, cf = outs["float32"]
+    k0b, k1b, cb = outs["bfloat16"]
+    np.testing.assert_allclose(k0b, k0f, atol=1e-4)  # query grid is exact
+    # matched coordinates: sub-pixel agreement where either run is confident
+    conf = np.maximum(cf, cb) > 0.3
+    assert conf.sum() > 50
+    d = np.abs(k1b[conf] - k1f[conf]).max()
+    assert d < 1.0, f"bf16 match coords deviate {d} px"
+    assert np.abs(cb - cf).max() < 0.15
+    assert np.abs(cb - cf).mean() < 0.02
+
+
+@pytest.mark.slow
 def test_dkm_match_end_to_end_matches_reference():
     """Full symmetric two-pass match() parity at a small resolution with
     random weights (the checkpoint converts through the same path)."""
