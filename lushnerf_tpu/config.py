@@ -140,6 +140,10 @@ class Config:
     # Guards the x^(1/2.2) gradient pole when dark-pixel radiance
     # saturates to exactly 0 — see models/tonemap.py)
     tonemap_eps: float = 0.0
+    # SND output-bias init (framework addition; 0.0 = reference init,
+    # which starts the noise head at a constant +0.05 radiance — see
+    # models/lushnerf.py LushConfig.snd_bias_init)
+    snd_bias_init: float = 0.0
     # global-norm gradient clip (framework addition; 0.0 = reference/off)
     grad_clip_norm: float = 0.0
     # far anchor depth in ray-lengths (see models/lushnerf.py)
@@ -336,4 +340,5 @@ class Config:
             rbk_anchor_depth=self.rbk_anchor_depth,
             use_snd=self.use_snd,
             tonemap_eps=self.tonemap_eps,
+            snd_bias_init=self.snd_bias_init,
         )

@@ -77,6 +77,15 @@ class LushConfig:
     # gamma-tonemap input floor (0.0 = reference; see models/tonemap.py —
     # guards the x^(1/2.2) gradient pole at saturated-dark pixels)
     tonemap_eps: float = 0.0
+    # SND output-bias init (framework addition; 0.0 = reference torch
+    # default).  The reference's noise head starts at sigmoid(~0) = 0.5,
+    # i.e. a CONSTANT +0.05 radiance added to every pixel from the first
+    # blur-stage step — the scene field must learn a compensating -0.05
+    # and dark-pixel tonemap gradients shrink meanwhile (measured as a
+    # persistent ~0.5 dB eval drag of SND variants in LONGRUN_r04).
+    # A negative bias b starts the noise at 0.1*sigmoid(b) ~ the actual
+    # sensor-noise floor instead (e.g. -3.0 -> 0.0047).
+    snd_bias_init: float = 0.0
 
     @property
     def mlp_cfg(self) -> MLPConfig:
@@ -118,6 +127,9 @@ def init_lush_params(key, cfg: LushConfig, dtype=jnp.float32) -> Params:
         "noise": init_nerf_mlp(kn, cfg.noise_cfg, dtype),
         "tonemap": init_tonemap(kt, cfg.tone_mapping_type, dtype),
     }
+    if cfg.snd_bias_init != 0.0:
+        w, b = params["noise"]["rgb"]
+        params["noise"]["rgb"] = (w, jnp.full_like(b, cfg.snd_bias_init))
     if cfg.render.n_importance > 0:
         params["fine"] = init_nerf_mlp(kf, cfg.mlp_cfg_fine, dtype)
     if cfg.blur_model_type == "dpnerf":

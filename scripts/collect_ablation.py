@@ -26,6 +26,8 @@ VARIANT_DESC = {
     "rbk_snd": "+ RBK + SND noise head",
     "full_gt": "full stack: RBK + SND + CTE (geometry-true matches)",
     "full_stub": "full stack with identity-grid stub CTE (r3's setup)",
+    "rbk_snd_dark": "+ RBK + SND with dark init (snd_bias_init=-3)",
+    "full_gt_dark": "full stack, SND dark-init",
 }
 
 
@@ -41,9 +43,13 @@ def read_evals(exp_dir: Path):
     return evals
 
 
+SCHEDULE_TAGS = ("_20k",)
+
+
 def _emit_scene_tables(lines, runs, scene, tag):
     variants = [v for (s, v) in runs if s == scene and
-                (v.endswith(tag) if tag else "_" not in v)]
+                (v.endswith(tag) if tag
+                 else not any(v.endswith(t) for t in SCHEDULE_TAGS))]
     base = lambda v: v[: -len(tag)] if tag else v
     order = [v for b in VARIANT_DESC for v in variants if base(v) == b]
     if not order:
@@ -134,7 +140,13 @@ def main():
         "   tonemap shrinks dark-pixel gradients).  The paper's SND gains",
         "   target real sensor noise (demosaic/ISP-correlated, strongly",
         "   biased); our synthetic shot+read noise is apparently too benign",
-        "   for the head to pay for itself even at 4x amplitude.",
+        "   for the head to pay for itself even at 4x amplitude.  A",
+        "   dark-init probe (`snd_bias_init=-3`: noise starts at the",
+        "   sensor floor instead of the reference's constant +0.05) made",
+        "   things WORSE (-0.4 to -0.9 dB vs standard init on heavy/harsh)",
+        "   — the drag is not the init transient; the reference's 0.05",
+        "   floor actually shields dark pixels from the gamma-pole region",
+        "   early in training.  The knob ships default-off (= reference).",
         "4. **Schedule matters more than components on synthetic scenes**:",
         "   the early-gate 8k schedule reaches higher PSNR than the",
         "   reference-proportional 20k schedule for every variant (e.g. rbk",

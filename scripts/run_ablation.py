@@ -79,6 +79,12 @@ VARIANTS = {
     # run_one (the reference couples them, run_lushnerf configs: both 60k)
     "full_gt": ["--matcher", "gt"],
     "full_stub": ["--matcher", "stub"],
+    # dark-init SND (snd_bias_init=-3): the noise head starts at the
+    # sensor-noise floor (0.0047) instead of the reference's constant
+    # +0.05 — tests whether SND's measured drag is its init transient
+    "rbk_snd_dark": ["--matcher", "none", "--noisenerf_start_iter", "1000000000",
+                     "--snd_bias_init", "-3.0"],
+    "full_gt_dark": ["--matcher", "gt", "--snd_bias_init", "-3.0"],
 }
 
 MATRIX = [
@@ -93,6 +99,9 @@ MATRIX = [
     ("harsh", "rbk"),
     ("harsh", "rbk_snd"),
     ("harsh", "full_gt"),
+    ("heavy", "rbk_snd_dark"),
+    ("heavy", "full_gt_dark"),
+    ("harsh", "rbk_snd_dark"),
 ]
 
 
@@ -126,7 +135,7 @@ def run_one(scene: Path, exp_dir: Path, variant: str, iters: int,
         "--allkernel_start_iter", str(a),
         "--rematch_interval", str(r),
     ] + COMMON + VARIANTS[variant]
-    if variant.startswith("full"):
+    if variant.startswith("full") and "--noisenerf_start_iter" not in argv:
         argv += ["--noisenerf_start_iter", str(a)]
     cfg = Config.from_args(argv)
     trainer = Trainer(cfg)

@@ -171,6 +171,44 @@ def test_center_bundle_zeroes_anchor_drift():
     assert float(out["rbk_drift"]) < 1e-9
 
 
+def test_trainer_gt_matcher_end_to_end(scene, tmp_path):
+    """Trainer with matcher=gt: depth maps load + bd-rescale, the CTE gate
+    crosses, a live rematch builds non-identity tables (the round-4
+    geometry-true CTE path, end to end on CPU)."""
+    from lushnerf_tpu.config import Config
+    from lushnerf_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        expname="gt_e2e", basedir=str(tmp_path), tbdir="",
+        datadir=str(scene), factor=1, llffhold=8,
+        N_rand=32, N_samples=18, N_importance=6, netdepth=2, netwidth=16,
+        netdepth_fine=2, netwidth_fine=16, multires=4, multires_views=2,
+        use_viewdirs=True, raw_noise_std=1.0, blur_model_type="dpnerf",
+        use_dpnerf=True, rbk_use_origin=True, rbk_num_motion=2,
+        rbk_view_embed_ch=8, rbk_enc_brc_width=8, rbk_se_r_width=8,
+        rbk_se_v_width=8, rbk_ccw_width=8, rbk_center_bundle=True,
+        tone_mapping_type="gamma", tonemap_eps=1e-4, point_chunk=0,
+        ray_chunk_eval=256, kernel_start_iter=2, allkernel_start_iter=3,
+        noisenerf_start_iter=3, rematch_interval=5, matcher="gt",
+        consist_num_pixels=8, i_print=2, i_weights=10**9, i_testset=10**9,
+        render_factor=2,
+    )
+    trainer = Trainer(cfg)
+    trainer.setup()
+    from lushnerf_tpu.matcher.api import GroundTruthMatcher
+
+    assert isinstance(trainer._matcher, GroundTruthMatcher)
+    out = trainer.train(num_iters=6)  # rematch fires at 5 (>= consist gate)
+    assert np.isfinite(out["loss"])
+    tb = trainer.match_tables
+    assert float(tb.certainty.max()) > 0, "rematch left zero tables"
+    # geometry-true matches are NON-identity for cross-view pairs
+    k, v = 0, 2
+    kp, c = tb.kpts[k, v], tb.certainty[k, v]
+    disp = np.linalg.norm(kp[c > 0][:, :2] - kp[c > 0][:, 2:], axis=-1)
+    assert len(disp) > 5 and float(np.median(disp)) > 0.3
+
+
 def test_gamma_tonemap_pole_and_eps_guard():
     """d/dx x^(1/2.2) is a pole at x=0 (f32 sigmoid saturates to exactly
     0 for logits < ~-103, so training CAN reach it — it NaN'ed the
