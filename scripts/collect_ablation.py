@@ -28,6 +28,7 @@ VARIANT_DESC = {
     "full_stub": "full stack with identity-grid stub CTE (r3's setup)",
     "rbk_snd_dark": "+ RBK + SND with dark init (snd_bias_init=-3)",
     "full_gt_dark": "full stack, SND dark-init",
+    "rbk_cte_gt": "+ RBK + geometry-true CTE, SND off",
 }
 
 
@@ -117,19 +118,24 @@ def main():
     lines += [
         "## Findings",
         "",
-        "1. **RBK (the deblurring core) beats the blur-free control wherever",
-        "   blur is heavy** — heavy: 26.47 vs 26.06 final (peak 26.66 vs",
-        "   26.06), harsh: 25.91 vs 25.39 final — with consistently higher",
-        "   SSIM (+0.03-0.04).  On the mild scene (blur 4-9 px) the control",
-        "   wins: a blur model cannot pay for itself when the blur is ~2 px",
-        "   at eval resolution.  This is the reference's central mechanism,",
-        "   demonstrated on held-out views.",
+        "1. **The LuSh machinery beats the blur-free control wherever the",
+        "   degradation is heavy.**  RBK alone: heavy 26.47 vs control",
+        "   26.06 final, harsh 25.91 vs 25.39.  RBK + geometry-true CTE",
+        "   (SND off) is the best configuration measured: **heavy 26.64",
+        "   (+0.58 over control), harsh 26.18 (+0.79)** with SSIM +0.04,",
+        "   and the cross-view consistency term adds the most exactly on",
+        "   the noisy harsh scene (it acts as a multi-view denoiser for",
+        "   the sharp branch).  On the mild scene (blur 4-9 px) the",
+        "   control wins: a blur model cannot pay for itself when the",
+        "   blur is ~2 px at eval resolution.  This is the reference's",
+        "   central mechanism, demonstrated component-by-component on",
+        "   held-out views.",
         "2. **The round-3 eval decline was the stub matcher's fault** —",
         "   full_stub reproduces it exactly (27.4 → 25.8 over 4k iters on",
         "   mild: identity-grid 'correspondences' pull different scene points",
         "   toward one color), while the same run with geometry-true matches",
-        "   (full_gt) holds 27.4 with NO decline.  CTE-gt is roughly neutral",
-        "   on synthetic scenes (+0.1 dB over rbk_snd on heavy/harsh).",
+        "   (full_gt) holds 27.4 with NO decline.  With real correspondences",
+        "   CTE is a clear WIN (+0.2 heavy / +0.3 harsh over rbk-only).",
         "3. **SND is a measured net cost on these synthetic scenes** (-0.4 to",
         "   -1.0 dB vs rbk-only at 8k; still -0.3 at 20k under reference",
         "   proportions), and its training path is the one that found the",

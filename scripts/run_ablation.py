@@ -85,6 +85,9 @@ VARIANTS = {
     "rbk_snd_dark": ["--matcher", "none", "--noisenerf_start_iter", "1000000000",
                      "--snd_bias_init", "-3.0"],
     "full_gt_dark": ["--matcher", "gt", "--snd_bias_init", "-3.0"],
+    # RBK + geometry-true CTE with the SND head off: the configuration
+    # the component ablation predicts to be optimal on synthetic scenes
+    "rbk_cte_gt": ["--matcher", "gt", "--use_snd", "False"],
 }
 
 MATRIX = [
@@ -102,6 +105,8 @@ MATRIX = [
     ("heavy", "rbk_snd_dark"),
     ("heavy", "full_gt_dark"),
     ("harsh", "rbk_snd_dark"),
+    ("heavy", "rbk_cte_gt"),
+    ("harsh", "rbk_cte_gt"),
 ]
 
 
@@ -135,7 +140,8 @@ def run_one(scene: Path, exp_dir: Path, variant: str, iters: int,
         "--allkernel_start_iter", str(a),
         "--rematch_interval", str(r),
     ] + COMMON + VARIANTS[variant]
-    if variant.startswith("full") and "--noisenerf_start_iter" not in argv:
+    if "--matcher" in argv and argv[argv.index("--matcher") + 1] in ("gt", "stub") \
+            and "--noisenerf_start_iter" not in argv:
         argv += ["--noisenerf_start_iter", str(a)]
     cfg = Config.from_args(argv)
     trainer = Trainer(cfg)
