@@ -133,6 +133,10 @@ class Config:
     # original ray, removing the RBK gauge-drift mode structurally
     # (framework addition; False = reference — see models/rbk.py)
     rbk_center_bundle: bool = False
+    # replace degenerate warped sub-rays (dz >= -eps: the NDC division
+    # pole) with the original ray (framework addition; False = reference
+    # — see models/rbk.py RBKConfig.guard_dz)
+    rbk_guard_dz: bool = False
     # SND noise head on/off (ablation aid; True = reference behavior).
     # False removes the noise MLP from the blur-stage forward entirely.
     use_snd: bool = True
@@ -321,6 +325,7 @@ class Config:
             use_origin=self.rbk_use_origin,
             zero_head_bias=self.rbk_zero_head_bias,
             center_bundle=self.rbk_center_bundle,
+            guard_dz=self.rbk_guard_dz,
         )
 
     def lush_config(self, near: float = 0.0, far: float = 1.0) -> LushConfig:

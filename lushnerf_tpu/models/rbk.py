@@ -63,6 +63,19 @@ class RBKConfig:
     # zero-mean-blur anchor then has to undo (measured ~3 px of image
     # shift by iter 500 on the synthetic staged run).  False = reference.
     zero_head_bias: bool = False
+    # Framework addition (rbk_guard_dz): replace DEGENERATE warped
+    # sub-rays (direction z-component >= -eps, i.e. tilted onto/past the
+    # image plane) with the original ray.  Root-caused failure (round-4
+    # forensics, mild/rbk_cte_gt iter 3088): a motion whose composite
+    # weight collapses (ccw ~ 1e-28) receives no photometric gradient and
+    # drifts under Adam until its warped dz crosses 0; ndc_rays divides
+    # by dz (same in the reference, run_lushnerf_helpers.py:542-562, no
+    # guard), producing ~1e7-scale coordinates whose positional encoding
+    # overflows -> one NaN poisons every parameter within a step.  The
+    # replacement only fires where the reference computes geometric
+    # garbage anyway.  False = reference behavior.
+    guard_dz: bool = False
+    guard_dz_eps: float = 1e-3
     # Framework addition (rbk_center_bundle): re-center every sub-ray
     # bundle so its ccw-weighted mean ray EXACTLY equals the original ray.
     # The RBK parameterization has a flat gauge direction — shift every
@@ -201,6 +214,14 @@ def apply_rbk(params: Params, cfg: RBKConfig, rays: jnp.ndarray, image_idx: jnp.
         mean_sub = jnp.einsum("nm,nmdc->ndc", ccw, sub_rays)
         orig_ray = jnp.stack([rays_o, rays_d], axis=-1)  # [N, 3, 2]
         sub_rays = sub_rays - (mean_sub - orig_ray)[:, None]
+    if cfg.guard_dz:
+        # degenerate-warp guard (see RBKConfig.guard_dz): forward-facing
+        # rays have dz < 0; a warped dz >= -eps means the sub-ray is
+        # parallel to / behind the image plane and the NDC projection
+        # would blow up -> fall back to the original ray for that slot
+        ok = sub_rays[..., 2, 1] < -cfg.guard_dz_eps  # [N, M+1]
+        orig_b = jnp.stack([rays_o, rays_d], axis=-1)[:, None]  # [N, 1, 3, 2]
+        sub_rays = jnp.where(ok[..., None, None], sub_rays, orig_b)
     return sub_rays, ccw
 
 

@@ -126,10 +126,20 @@ def main():
         "   and the cross-view consistency term adds the most exactly on",
         "   the noisy harsh scene (it acts as a multi-view denoiser for",
         "   the sharp branch).  On the mild scene (blur 4-9 px) the",
-        "   control wins: a blur model cannot pay for itself when the",
-        "   blur is ~2 px at eval resolution.  This is the reference's",
-        "   central mechanism, demonstrated component-by-component on",
-        "   held-out views.",
+        "   control wins narrowly (28.95 vs rbk/rbk_cte_gt 28.63): a blur",
+        "   model costs ~0.3 dB when the blur is ~2 px at eval resolution.",
+        "   This is the reference's central mechanism, demonstrated",
+        "   component-by-component on held-out views.",
+        "1b. A second latent failure mode was root-caused while filling",
+        "   this table: a blur motion whose composite weight collapses",
+        "   receives no gradient and drifts until its warped direction",
+        "   crosses the image plane, where the reference's unguarded NDC",
+        "   division produces ~1e7-scale coordinates (NaN on the bf16",
+        "   pallas path at iter 3088 of mild/rbk_cte_gt, deterministic).",
+        "   `rbk_guard_dz` (shipped) falls degenerate sub-rays back to the",
+        "   original ray; verified finite on the exact saved failing state",
+        "   and the rerun completes 8k iters clean.  See the PARITY.md",
+        "   quirks ledger.",
         "2. **The round-3 eval decline was the stub matcher's fault** —",
         "   full_stub reproduces it exactly (27.4 → 25.8 over 4k iters on",
         "   mild: identity-grid 'correspondences' pull different scene points",

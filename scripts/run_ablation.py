@@ -56,6 +56,7 @@ COMMON = [
     "--mlp_compute_dtype", "bfloat16",
     "--rbk_center_bundle",
     "--rbk_zero_head_bias",
+    "--rbk_guard_dz",
     # guard the gamma-tonemap gradient pole (measured: the SND head drives
     # dark-pixel radiance to f32-sigmoid saturation on the heavy-blur
     # scene and the x^(1/2.2) grad at exactly 0 NaN'ed the run)
@@ -107,6 +108,8 @@ MATRIX = [
     ("harsh", "rbk_snd_dark"),
     ("heavy", "rbk_cte_gt"),
     ("harsh", "rbk_cte_gt"),
+    ("mild", "rbk"),
+    ("mild", "rbk_cte_gt"),
 ]
 
 

@@ -234,6 +234,83 @@ def test_gamma_tonemap_pole_and_eps_guard():
     assert float(jax.nn.sigmoid(jnp.float32(-110.0))) == 0.0
 
 
+def test_guard_dz_replaces_degenerate_subrays():
+    """Root-caused round-4 NaN: a zero-weight RBK motion drifts until its
+    warped direction crosses the image plane; ndc_rays divides by dz and
+    the ~1e7-scale coordinates overflow the PE.  guard_dz swaps such
+    sub-rays for the original ray BEFORE projection."""
+    from lushnerf_tpu.models.rbk import RBKConfig, apply_rbk, init_rbk
+    from lushnerf_tpu.models.renderer import RenderConfig, prepare_rays
+
+    rng = np.random.default_rng(0)
+    rays_o = (0.05 * rng.standard_normal((16, 3))).astype(np.float32)
+    # straight-down-z rays: a 90-degree rotation about x sends dz to ~0
+    rays_d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (16, 1))
+    rays = jnp.asarray(np.stack([rays_o, rays_d], axis=-1))
+    idx = jnp.zeros((16,), jnp.int32)
+
+    outs = {}
+    for guard in (False, True):
+        cfg = RBKConfig(num_images=1, num_motion=2, use_origin=True,
+                        rv_window=0.1, guard_dz=guard)
+        params = init_rbk(jax.random.PRNGKey(0), cfg)
+        # force motion 1 to a ~90-degree rotation about x: dz -> ~0
+        r_w, r_b = params["r_out"]
+        r_b = np.zeros_like(np.asarray(r_b))
+        # reference layout: reshape(-1, 3, M); motion m, axis a -> a*M+m
+        r_b[0 * cfg.num_motion + 1] = np.pi / 2 / cfg.rv_window
+        params["r_out"] = (jnp.zeros_like(r_w), jnp.asarray(r_b))
+        params["v_out"] = (jnp.zeros_like(params["v_out"][0]),
+                           jnp.zeros_like(params["v_out"][1]))
+        sub, ccw = apply_rbk(params, cfg, rays, idx)
+        dz = np.asarray(sub[..., 2, 1])
+        if not guard:
+            assert (dz > -1e-3).any(), "setup must create a degenerate sub-ray"
+        else:
+            assert (dz < -1e-3).all(), "guard must remove all degenerate sub-rays"
+        rc = RenderConfig()
+        flat = sub.reshape(-1, 3, 2)
+        prep = prepare_rays(rc, 64, 64, 48.0, flat[..., 0], flat[..., 1], 0.0, 1.0)
+        outs[guard] = float(jnp.max(jnp.abs(prep["rays_o"])))
+    assert outs[False] > 1e3, f"unguarded NDC origin should blow up, got {outs[False]}"
+    assert outs[True] < 1e2, f"guarded NDC origin should stay sane, got {outs[True]}"
+
+
+def test_snd_bias_init_sets_noise_floor():
+    """snd_bias_init=-3 must start the noise head at 0.1*sigmoid(-3)
+    (~0.0047) instead of the reference's ~0.05; 0.0 = reference init."""
+    from lushnerf_tpu.config import Config
+    from lushnerf_tpu.models.lushnerf import init_lush_params
+
+    base = dict(
+        num_images=2, N_samples=18, N_importance=4, netdepth=2, netwidth=16,
+        netdepth_fine=2, netwidth_fine=16, multires=4, multires_views=2,
+        use_viewdirs=True, blur_model_type="dpnerf", rbk_use_origin=True,
+        rbk_num_motion=2, rbk_view_embed_ch=8, rbk_enc_brc_width=8,
+        rbk_se_r_width=8, rbk_se_v_width=8, rbk_ccw_width=8,
+    )
+    p_ref = init_lush_params(jax.random.PRNGKey(0), Config(**base).lush_config())
+    p_dark = init_lush_params(
+        jax.random.PRNGKey(0), Config(snd_bias_init=-3.0, **base).lush_config()
+    )
+    b_ref = np.asarray(p_ref["noise"]["rgb"][1])
+    b_dark = np.asarray(p_dark["noise"]["rgb"][1])
+    assert not np.allclose(b_ref, -3.0)  # torch-default uniform init
+    np.testing.assert_allclose(b_dark, -3.0)
+    # weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(p_ref["noise"]["rgb"][0]), np.asarray(p_dark["noise"]["rgb"][0])
+    )
+
+
+def test_pallas_tile_config_plumbs_to_render_config():
+    from lushnerf_tpu.config import Config
+
+    assert Config(pallas_tile="").render_config().mlp_tile == (0, 0)
+    assert Config(pallas_tile="4096").render_config().mlp_tile == (4096, 4096)
+    assert Config(pallas_tile="2048,1024").render_config().mlp_tile == (2048, 1024)
+
+
 def test_use_snd_false_removes_noise():
     from lushnerf_tpu.config import Config
     from lushnerf_tpu.models.lushnerf import forward_kernel, init_lush_params
