@@ -33,11 +33,83 @@ matmul rate.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_RAYS_PER_S = 1024.0
+
+# Retry harness (VERDICT r4 weak #1): BENCH_r04 died at warmup on a
+# transient `INTERNAL: TPU backend error` from the tunnel and the round
+# lost its perf record.  The measurement now runs in a CHILD process
+# (fresh TPU backend per attempt), retried up to 3 times with backoff;
+# the child checkpoints each completed phase to a partial-result file so
+# a late-phase crash still yields the core number, and on total failure
+# the parent prints a parseable JSON line (rc=0) instead of a traceback.
+_PARTIAL_ENV = "LUSH_BENCH_PARTIAL_PATH"
+_CHILD_ENV = "LUSH_BENCH_CHILD"
+_ATTEMPTS = 3
+_BACKOFF_S = (5.0, 20.0)
+
+
+def _checkpoint(result: dict):
+    path = os.environ.get(_PARTIAL_ENV)
+    if path:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, path)
+
+
+def supervise() -> int:
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_partial.json"
+    )
+    env = dict(os.environ, **{_CHILD_ENV: "1", _PARTIAL_ENV: partial_path})
+    last_tail = ""
+    for attempt in range(_ATTEMPTS):
+        if os.path.exists(partial_path):
+            os.remove(partial_path)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = ""
+        for ln in proc.stdout.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{") and ln.endswith("}"):
+                line = ln
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        last_tail = (proc.stderr or proc.stdout or "")[-800:]
+        sys.stderr.write(
+            f"[bench] attempt {attempt + 1}/{_ATTEMPTS} failed "
+            f"(rc={proc.returncode}); tail:\n{last_tail}\n"
+        )
+        # a completed core phase is good enough — don't burn more attempts
+        if os.path.exists(partial_path):
+            with open(partial_path) as f:
+                partial = json.load(f)
+            if "value" in partial:
+                partial["partial"] = True
+                partial["error"] = last_tail[-300:]
+                print(json.dumps(partial))
+                return 0
+        if attempt + 1 < _ATTEMPTS:
+            time.sleep(_BACKOFF_S[min(attempt, len(_BACKOFF_S) - 1)])
+    # fail soft: a parseable record of the failure, not rc=1
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_fwdbwd",
+        "value": None,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "error": f"all {_ATTEMPTS} attempts failed",
+        "error_tail": last_tail[-400:],
+    }))
+    return 0
 
 # peak dense bf16 matmul TFLOP/s per chip (public figures)
 PEAK_TFLOPS = {
@@ -142,6 +214,15 @@ def main():
     iters = n_long - n_short
 
     rays_per_s = n_rays * iters / dt / n_chips
+    _checkpoint({
+        "metric": "rays_per_s_per_chip_fwdbwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "device": jax.devices()[0].device_kind,
+        "n_chips": n_chips,
+        "ms_per_step": round(1e3 * dt / iters, 2),
+    })
 
     # ---- MFU ------------------------------------------------------------
     # scene-MLP model FLOPs per step at the kernel's padded shapes:
@@ -206,6 +287,17 @@ def main():
     tc = max(timed_consist(n_long, params, opt_state, key)
              - timed_consist(n_short, params, opt_state, key), 1e-9)
     consist_sec = tc / iters
+    _checkpoint({
+        "metric": "rays_per_s_per_chip_fwdbwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "mfu": round(mfu, 4),
+        "device": jax.devices()[0].device_kind,
+        "n_chips": n_chips,
+        "ms_per_step": round(1e3 * sec_per_step, 2),
+        "consist_ms_per_step": round(1e3 * consist_sec, 2),
+    })
 
     # ---- eval image render (400x400, chunked) ----------------------------
     from lushnerf_tpu.models.lushnerf import render_image
@@ -231,6 +323,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
         "mfu": round(mfu, 4),
+        "kernel": os.environ.get("LUSH_RENDER_KERNEL", "default"),
         "device": jax.devices()[0].device_kind,
         "n_chips": n_chips,
         "ms_per_step": round(1e3 * sec_per_step, 2),
@@ -251,4 +344,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_ENV):
+        main()
+    else:
+        sys.exit(supervise())

@@ -218,11 +218,18 @@ class LLFFData(NamedTuple):
     i_test: int
 
 
+# world-scale rescale factor 1/(bds.min()*DEFAULT_BD_FACTOR) applied by the
+# loader (run_lushnerf.py passes bd_factor=.75).  Anything that converts
+# raw scene units (e.g. stored synthetic depth maps) into the trainer's
+# world frame must use THIS constant, not a re-typed literal (ADVICE r4).
+DEFAULT_BD_FACTOR = 0.75
+
+
 def load_llff_data(
     basedir: str | Path,
     factor: int | None = None,
     recenter: bool = True,
-    bd_factor: float | None = 0.75,
+    bd_factor: float | None = DEFAULT_BD_FACTOR,
     spherify: bool = False,
     path_epi: bool = False,
     gamma: float = 1.0,

@@ -76,6 +76,16 @@ class MatchTables:
         )
 
 
+def _uniform_grid_subset(total: int, n: int) -> np.ndarray:
+    """n indices spread uniformly over [0, total) — a non-perfect-square
+    n no longer drops the grid's trailing (bottom) rows wholesale, which
+    biased correspondence coverage toward the top of the image
+    (ADVICE r4 #5).  Identity when n == total."""
+    if n > total:
+        raise ValueError(f"n_points={n} exceeds grid size {total}")
+    return np.round(np.linspace(0, total - 1, n)).astype(np.int64)
+
+
 class Matcher(Protocol):
     def match(self, img0: np.ndarray, img1: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """img: [H, W, 3] float32 in [0,1].  Returns (kpts0 [P,2],
@@ -105,7 +115,8 @@ class GridStubMatcher:
         xs = (np.arange(g) + 0.5) * w / g
         ys = (np.arange(g) + 0.5) * h / g
         gx, gy = np.meshgrid(xs, ys)
-        k0 = np.stack([gx.ravel(), gy.ravel()], -1)[: self.n_points].astype(np.float32)
+        sel = _uniform_grid_subset(g * g, self.n_points)
+        k0 = np.stack([gx.ravel(), gy.ravel()], -1)[sel].astype(np.float32)
         return k0, k0.copy(), np.full(self.n_points, self.certainty, np.float32)
 
 
@@ -153,8 +164,9 @@ class GroundTruthMatcher:
         xs = np.clip(((np.arange(g) + 0.5) * self.W / g - 0.5).round(), 0, self.W - 1)
         ys = np.clip(((np.arange(g) + 0.5) * self.H / g - 0.5).round(), 0, self.H - 1)
         gx, gy = np.meshgrid(xs, ys)
-        xi = gx.ravel()[: self.n_points].astype(np.int64)
-        yi = gy.ravel()[: self.n_points].astype(np.int64)
+        sel = _uniform_grid_subset(g * g, self.n_points)
+        xi = gx.ravel()[sel].astype(np.int64)
+        yi = gy.ravel()[sel].astype(np.int64)
 
         z = self.depths[k][yi, xi]  # [P]
         valid = np.isfinite(z) & (z > 0)

@@ -12,12 +12,13 @@ import jax
 import jax.numpy as jnp
 
 
-# Conv input precision for the frozen inference matcher.  'bfloat16'
-# (default) runs the MXU at full rate with f32 accumulation — the
-# matcher is frozen, its certainty feeds a 1e-2-weight loss through a
-# 0.8 threshold, and measured bf16-vs-f32 match deltas are sub-pixel
-# (tests/test_dkm.py::test_dkm_bf16_matches_f32).  set_conv_dtype
-# restores f32 for bit-tight golden comparisons vs the torch reference.
+# Conv input precision for the frozen inference matcher.  float32 is the
+# default: the decoder is gather/VPU-bound (grid_sample + windowed local
+# correlation), so bf16 convs measured NEUTRAL on the production shape
+# (PROFILE_r04).  'bfloat16' remains the available, parity-tested
+# alternative via set_conv_dtype — measured match deltas are sub-pixel
+# (tests/test_dkm.py::test_dkm_bf16_matches_f32) and the certainty feeds
+# a 1e-2-weight loss through a 0.8 threshold.
 _CONV_DTYPE = jnp.float32
 
 

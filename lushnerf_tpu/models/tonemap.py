@@ -52,14 +52,17 @@ def apply_tonemap(params: Params, map_type: str, x: jnp.ndarray, eps: float = 0.
     head explaining dark pixels away on the heavy-blur synthetic scene)
     meets an infinite gradient and NaNs the whole model in one step — the
     torch reference has the same pole (x ** (1./2.2),
-    run_lushnerf_helpers.py:173) and the same failure mode.  eps=1e-4
-    bounds the gamma gradient at ~30 while changing no value above eps
-    (~2.6 gray levels of floor)."""
+    run_lushnerf_helpers.py:173) and the same failure mode.  The floor is
+    gradient-preserving: (x + eps)^(1/2.2) instead of max(x, eps)^(1/2.2),
+    so a pixel saturated below eps still receives a (bounded, ~eps^-6/11)
+    photometric gradient and can recover (ADVICE r4 #1); values shift by
+    at most eps^(1/2.2) ≈ 0.015 at eps=1e-4, vanishing for bright pixels.
+    eps=1e-4 bounds the gamma gradient at ~30."""
     if map_type == "none":
         return x
     if map_type == "gamma":
         if eps > 0.0:
-            x = jnp.maximum(x, eps)
+            x = jnp.maximum(x, 0.0) + eps
         return x ** (1.0 / 2.2)
     if map_type == "learn":
         shape = x.shape

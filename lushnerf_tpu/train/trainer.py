@@ -29,7 +29,7 @@ import optax
 
 from lushnerf_tpu.config import Config
 from lushnerf_tpu.data.freq_mask import get_masks_for_images
-from lushnerf_tpu.data.llff import load_llff_data
+from lushnerf_tpu.data.llff import DEFAULT_BD_FACTOR, load_llff_data
 from lushnerf_tpu.data.rays import RayDataset, build_ray_dataset
 from lushnerf_tpu.models.lushnerf import (
     LushConfig,
@@ -93,7 +93,7 @@ class Trainer:
                 cfg.datadir,
                 cfg.factor,
                 recenter=True,
-                bd_factor=0.75,
+                bd_factor=DEFAULT_BD_FACTOR,
                 spherify=cfg.spherify,
                 path_epi=cfg.render_epi,
                 gamma=cfg.scaleup_gamma,
@@ -310,7 +310,7 @@ class Trainer:
             # recentering is rigid so camera-frame z-depth is otherwise
             # unchanged
             raw_bds = np.load(dd / "poses_bounds.npy")[:, -2:]
-            sc = 1.0 / (raw_bds.min() * 0.75)
+            sc = 1.0 / (raw_bds.min() * DEFAULT_BD_FACTOR)
             depths = np.stack([np.load(p) for p in depth_files]).astype(np.float32) * sc
             if depths.shape[1:] != (self.H, self.W):
                 import cv2
@@ -667,10 +667,13 @@ class Trainer:
         test_mse = compute_img_metric(test_rgbs, gt, "mse")
         test_psnr = compute_img_metric(test_rgbs, gt, "psnr")
         test_ssim = compute_img_metric(test_rgbs, gt, "ssim")
-        if lpips_lib.available():
+        lpips_note = lpips_lib.unavailable_reason()
+        if lpips_note is None and lpips_lib.available():
             test_lpips = compute_img_metric(test_rgbs, gt, "lpips")
         else:
             test_lpips = float("nan")
+            if lpips_note and dist.is_primary():
+                print(f"[eval] {lpips_note}")
         line = (f"iter{i}: MSE:{test_mse:.8f} PSNR:{test_psnr:.8f} "
                 f"SSIM:{test_ssim:.8f} LPIPS:{test_lpips:.8f}")
         # metrics are identical on every process (allgathered renders);

@@ -85,8 +85,8 @@ def main():
         # path as the width-256 flagship
         # one big tile => the interpret-mode grid is a single traced
         # iteration per call (pallas interpret inlines every grid step
-        # at trace time; the default (2048,1024) pair made each graph 8x
-        # larger and compile-bound)
+        # at trace time; the default (1024,1024) pair made each graph
+        # several times larger and compile-bound)
         overrides = dict(
             netdepth=8, netwidth=128, netdepth_fine=8, netwidth_fine=128,
             multires=10, multires_views=4, mlp_backend="pallas",

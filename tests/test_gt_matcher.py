@@ -224,12 +224,18 @@ def test_gamma_tonemap_pole_and_eps_guard():
     gv = g_eps(x0)
     assert bool(jnp.isfinite(gv).all())
     assert float(gv.max()) < 40.0
-    # values above eps are untouched
+    # the floor is gradient-PRESERVING (ADVICE r4 #1): a saturated-dark
+    # pixel (x=0) keeps a strictly positive recovery gradient
+    assert float(gv[0]) > 0.0
+    # ... at a bounded value shift: |(x+eps)^(1/2.2) - x^(1/2.2)| <=
+    # eps^(1/2.2) ~= 0.015 at eps=1e-4, vanishing for bright pixels
     x1 = jnp.array([0.001, 0.5, 1.0])
-    np.testing.assert_array_equal(
-        np.asarray(apply_tonemap({}, "gamma", x1, eps=1e-4)),
-        np.asarray(apply_tonemap({}, "gamma", x1)),
+    d = np.abs(
+        np.asarray(apply_tonemap({}, "gamma", x1, eps=1e-4))
+        - np.asarray(apply_tonemap({}, "gamma", x1))
     )
+    assert d.max() <= 1e-4 ** (1 / 2.2) + 1e-7
+    assert d[-1] < 1e-4  # bright pixels essentially untouched
     # f32 sigmoid really does saturate to exactly 0
     assert float(jax.nn.sigmoid(jnp.float32(-110.0))) == 0.0
 
