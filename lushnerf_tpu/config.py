@@ -178,6 +178,10 @@ class Config:
     mlp_backend: str = "xla"  # 'xla' | 'pallas'
     mlp_compute_dtype: str = "float32"  # 'bfloat16' for full-rate MXU
     pallas_tile: str = ""  # "F" or "F,B" point-tile override; "" = default
+    # pallas backward: 'remat' (recompute activations, 4 passes) |
+    # 'stash' (stream compute-dtype activations from the forward, 3
+    # passes — measured −5.3 ms on the flagship MLP fwd+bwd, r5)
+    mlp_bwd: str = "remat"
     param_dtype: str = "float32"
     seed: int = 0
 
@@ -297,6 +301,7 @@ class Config:
             mlp_backend=self.mlp_backend,
             mlp_compute_dtype=self.mlp_compute_dtype,
             mlp_tile=self._parse_tile(),
+            mlp_bwd=self.mlp_bwd,
         )
 
     def _parse_tile(self) -> tuple:

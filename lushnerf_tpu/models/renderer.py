@@ -76,6 +76,11 @@ class RenderConfig:
     # measured DEFAULT_TILE.  Exposed for tuning and for interpret-mode
     # runs where a single big tile keeps the traced grid short.
     mlp_tile: tuple = (0, 0)
+    # pallas backward strategy: 'remat' recomputes activations (4 passes,
+    # zero activation HBM traffic) | 'stash' streams compute-dtype
+    # activations from the forward and skips the recompute (3 passes).
+    # See ops/fused/nerf_mlp.fused_mlp_packed.
+    mlp_bwd: str = "remat"
 
     @property
     def pe_x(self) -> PositionalEncoding:

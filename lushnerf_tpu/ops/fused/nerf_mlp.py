@@ -385,8 +385,17 @@ def _fwd_activations(pe, w, compute_dtype=jnp.float32):
 PE_PIPELINE_SPLIT = 2
 
 
-def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False):
-    n_out = 2 if emit_pe else 1
+# activation arrays stashed by the no-recompute backward (see
+# `bwd_mode='stash'`): indices into _fwd_activations' return tuple for
+# a0..a7, feat, hv — everything _bwd_kernel's gradient math touches
+# (alpha/rgb are not re-read in the backward).
+_ACT_IDX = (0, 1, 2, 3, 4, 5, 6, 7, 9, 10)
+N_ACTS = len(_ACT_IDX)
+
+
+def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False,
+                emit_acts=False):
+    n_out = 1 + (1 if emit_pe else 0) + (N_ACTS if emit_acts else 0)
     w = tuple(r[...] for r in refs[:-n_out])
     out_ref = refs[-n_out]
     xd = xd_ref[...]
@@ -397,8 +406,10 @@ def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False):
         pes = [_pe_forward(xd[i * h : (i + 1) * h], c_ref[...])[1] for i in range(split)]
         acts_h = [_fwd_activations(p, w, compute_dtype) for p in pes]
         pe = jnp.concatenate(pes, axis=0)
-        alpha = jnp.concatenate([a[8] for a in acts_h], axis=0)
-        rgb = jnp.concatenate([a[11] for a in acts_h], axis=0)
+        acts = tuple(
+            jnp.concatenate([a[k] for a in acts_h], axis=0) for k in range(12)
+        )
+        alpha, rgb = acts[8], acts[11]
     else:
         _, pe = _pe_forward(xd, c_ref[...])
         acts = _fwd_activations(pe, w, compute_dtype)
@@ -412,19 +423,37 @@ def _fwd_kernel(xd_ref, c_ref, *refs, compute_dtype=jnp.float32, emit_pe=False):
         [rgb[:, :3], alpha[:, :1], jnp.zeros_like(rgb[:, : OUT_CH - 4])], axis=-1
     )
     out_ref[...] = out
+    extra = list(refs[len(refs) - n_out + 1 :])
     if emit_pe:
         # persist the packed PE register for the backward pass (in the
         # compute dtype — the matmuls cast to it anyway, so reusing the
         # stored value is bit-identical to recomputing)
-        refs[-1][...] = pe.astype(refs[-1].dtype)
+        extra[0][...] = pe.astype(extra[0].dtype)
+        extra = extra[1:]
+    if emit_acts:
+        # stream the post-activation arrays the backward needs, in the
+        # compute dtype: the backward's matmuls cast activations to that
+        # dtype anyway, so reading the stash is bit-identical to the
+        # remat path's recompute (relu masks are sign-preserving under
+        # the bf16 round except exact-zero underflow, measure-zero).
+        for ref, k in zip(extra, _ACT_IDX):
+            ref[...] = acts[k].astype(ref.dtype)
+
+
+def _act_widths(w) -> Tuple[int, ...]:
+    """Lane widths of the stashed activation arrays (a0..a7, feat, hv)."""
+    W = w[1].shape[0]  # W1 is [W, W]
+    return (W,) * 9 + (LANES,)
 
 
 def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
               compute_dtype=jnp.float32, num_freqs_x: int = 10,
-              num_freqs_d: int = 4, emit_pe: bool = False):
+              num_freqs_d: int = 4, emit_pe: bool = False,
+              emit_acts: bool = False):
     P = xd.shape[0]
     grid = P // tile
     C = jnp.asarray(_pe_consts_np(num_freqs_x, num_freqs_d))
+    cd = jnp.dtype(compute_dtype)
     specs_in = [
         pl.BlockSpec((tile, XD_CH), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -436,13 +465,21 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
     out_shapes = [jax.ShapeDtypeStruct((P, OUT_CH), F32)]
     if emit_pe:
         out_specs.append(tile_spec)
-        out_shapes.append(jax.ShapeDtypeStruct((P, LANES), jnp.dtype(compute_dtype)))
+        out_shapes.append(jax.ShapeDtypeStruct((P, LANES), cd))
+    if emit_acts:
+        for aw in _act_widths(w):
+            out_specs.append(
+                pl.BlockSpec((tile, aw), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(jax.ShapeDtypeStruct((P, aw), cd))
+    multi = emit_pe or emit_acts
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype=compute_dtype, emit_pe=emit_pe),
+        functools.partial(_fwd_kernel, compute_dtype=compute_dtype,
+                          emit_pe=emit_pe, emit_acts=emit_acts),
         grid=(grid,),
         in_specs=specs_in + w_specs,
-        out_specs=out_specs if emit_pe else out_specs[0],
-        out_shape=out_shapes if emit_pe else out_shapes[0],
+        out_specs=out_specs if multi else out_specs[0],
+        out_shape=out_shapes if multi else out_shapes[0],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_INTERPRET,
     )(xd, C, *w)
@@ -454,23 +491,15 @@ def _fwd_call(w: Tuple[jnp.ndarray, ...], xd: jnp.ndarray, tile: int,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
-    w_refs = refs[: _N_W + _N_B]
-    out_refs = refs[_N_W + _N_B :]
-    w = tuple(r[...] for r in w_refs)
-    (W0, W1, W2, W3, W4, W5a, W5b, W6, W7, Wa, Wf, Wvf, Wvd, Wr, *_bs) = w
+def _bwd_math(pe, xs, C, g, w, acts, compute_dtype):
+    """Shared backward gradient math on one tile.
 
-    C = c_ref[...]
-    g = g_ref[...]
-    # pe was persisted by the forward kernel (same compute dtype — reusing
-    # it is bit-identical and saves one of the two transcendental passes);
-    # xs (the trig argument, needed for the PE derivative) is recomputed
-    # from the narrow xd input at trivial cost.
-    xs = _pe_xs(xd_ref[...], C)
-    pe = pe_ref[...]
-    a0, a1, a2, a3, a4, a5, a6, a7, alpha, feat, hv, rgb = _fwd_activations(
-        pe, w, compute_dtype
-    )
+    acts: (a0..a7, feat, hv) — either recomputed (remat mode) or read from
+    the forward's stash (stash mode; bit-identical, see _fwd_kernel).
+    Returns (d_xd [T, XD_CH], grads tuple matching the padded params).
+    """
+    (W0, W1, W2, W3, W4, W5a, W5b, W6, W7, Wa, Wf, Wvf, Wvd, Wr, *_bs) = w
+    a0, a1, a2, a3, a4, a5, a6, a7, feat, hv = acts
 
     cd = jnp.dtype(compute_dtype)
     cast = (lambda t: t) if cd == jnp.float32 else (lambda t: t.astype(cd))
@@ -495,7 +524,9 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
         [g[:, 3:4], jnp.zeros((T, OUT_CH - 1), F32), zpad], axis=-1
     )
 
-    relu_m = lambda a: (a > 0.0).astype(F32)
+    # compare in f32: stashed activations arrive in the compute dtype and
+    # Mosaic has no native bf16 compare (the cast is free VPU work)
+    relu_m = lambda a: (a.astype(F32) > 0.0).astype(F32)
 
     d_hv = dBT(g_rgb, Wr) * relu_m(hv)
     d_feat = dBT(d_hv, Wvf)
@@ -539,9 +570,11 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
         sum0(d_z5), sum0(d_z6), sum0(d_z7),
         sum0(g_alpha), sum0(d_feat), sum0(d_hv), sum0(g_rgb),
     )
+    return _pe_backward(xs, C, d_pe), grads
 
-    out_refs[0][...] = _pe_backward(xs, C, d_pe)
 
+def _acc_grads(out_refs, d_xd, grads):
+    out_refs[0][...] = d_xd
     first = pl.program_id(0) == 0
     for gr, ref in zip(grads, out_refs[1:]):
         @pl.when(first)
@@ -553,14 +586,61 @@ def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
             ref[...] += gr
 
 
+def _bwd_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs, compute_dtype=jnp.float32):
+    w_refs = refs[: _N_W + _N_B]
+    out_refs = refs[_N_W + _N_B :]
+    w = tuple(r[...] for r in w_refs)
+
+    C = c_ref[...]
+    g = g_ref[...]
+    # pe was persisted by the forward kernel (same compute dtype — reusing
+    # it is bit-identical and saves one of the two transcendental passes);
+    # xs (the trig argument, needed for the PE derivative) is recomputed
+    # from the narrow xd input at trivial cost.
+    xs = _pe_xs(xd_ref[...], C)
+    pe = pe_ref[...]
+    full = _fwd_activations(pe, w, compute_dtype)
+    acts = tuple(full[k] for k in _ACT_IDX)
+    d_xd, grads = _bwd_math(pe, xs, C, g, w, acts, compute_dtype)
+    _acc_grads(out_refs, d_xd, grads)
+
+
+def _bwd_stash_kernel(xd_ref, c_ref, g_ref, pe_ref, *refs,
+                      compute_dtype=jnp.float32):
+    """No-recompute backward: activations stream in from the forward's
+    stash instead of being rematerialized (the '4th pass' PROFILE_r04
+    blames for the 0.75 counted/executed MFU factor).  The stash reads
+    ride the input pipeline and overlap with the MXU-bound dgrad/wgrad
+    matmuls."""
+    act_refs = refs[:N_ACTS]
+    w_refs = refs[N_ACTS : N_ACTS + _N_W + _N_B]
+    out_refs = refs[N_ACTS + _N_W + _N_B :]
+    w = tuple(r[...] for r in w_refs)
+
+    C = c_ref[...]
+    xs = _pe_xs(xd_ref[...], C)
+    acts = tuple(r[...] for r in act_refs)
+    d_xd, grads = _bwd_math(pe_ref[...], xs, C, g_ref[...], w, acts,
+                            compute_dtype)
+    _acc_grads(out_refs, d_xd, grads)
+
+
 def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
-              num_freqs_x: int = 10, num_freqs_d: int = 4):
+              num_freqs_x: int = 10, num_freqs_d: int = 4, acts=None):
     P = xd.shape[0]
     grid = P // tile
     C = jnp.asarray(_pe_consts_np(num_freqs_x, num_freqs_d))
     xd_spec = pl.BlockSpec((tile, XD_CH), lambda i: (i, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((tile, OUT_CH), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    act_args, act_specs, kern = (), [], _bwd_kernel
+    if acts is not None:
+        act_args = tuple(acts)
+        act_specs = [
+            pl.BlockSpec((tile, a.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for a in acts
+        ]
+        kern = _bwd_stash_kernel
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w]
     acc_specs = [
         pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM)
@@ -571,15 +651,15 @@ def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
     ]
     out_specs = [xd_spec] + acc_specs
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
+        functools.partial(kern, compute_dtype=compute_dtype),
         grid=(grid,),
         in_specs=[xd_spec, pl.BlockSpec(memory_space=pltpu.VMEM), g_spec,
-                  tile_spec] + w_specs,
+                  tile_spec] + act_specs + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_INTERPRET,
-    )(xd, C, g, pe, *w)
+    )(xd, C, g, pe, *act_args, *w)
     return outs[0], tuple(outs[1:])
 
 
@@ -588,30 +668,42 @@ def _bwd_call(w, xd, g, pe, tile: int, compute_dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_mlp_packed(w, xd, tile=DEFAULT_TILE, compute_dtype: str = "float32",
-                     num_freqs_x: int = 10, num_freqs_d: int = 4):
+                     num_freqs_x: int = 10, num_freqs_d: int = 4,
+                     bwd_mode: str = "remat"):
     """w: padded param tuple; xd: [P, 8] packed (xyz, dir) input
     (P divisible by both tiles).  `tile` is an int or a (fwd, bwd) pair.
-    PE happens in-kernel.  Returns raw [P, 4] = [rgb_raw, alpha_raw]."""
+    PE happens in-kernel.  Returns raw [P, 4] = [rgb_raw, alpha_raw].
+
+    bwd_mode: 'remat' recomputes activations in the backward kernel (no
+    activation HBM traffic, 4 compute passes); 'stash' streams the
+    forward's activations through HBM in the compute dtype and skips the
+    recompute (3 passes — the stash reads hide under the backward's
+    MXU-bound matmuls).  Gradients are bit-identical between modes for
+    bf16 compute (the backward casts activations to the compute dtype
+    before every matmul anyway)."""
     tf, _ = _tile_pair(tile)
     out = _fwd_call(w, xd, tf, jnp.dtype(compute_dtype), num_freqs_x, num_freqs_d)
     return out[:, :4]
 
 
-def _fused_fwd(w, xd, tile, compute_dtype, num_freqs_x, num_freqs_d):
+def _fused_fwd(w, xd, tile, compute_dtype, num_freqs_x, num_freqs_d, bwd_mode):
     tf, _ = _tile_pair(tile)
-    out, pe = _fwd_call(w, xd, tf, jnp.dtype(compute_dtype), num_freqs_x,
-                        num_freqs_d, emit_pe=True)
-    return out[:, :4], (w, xd, pe)
+    stash = bwd_mode == "stash"
+    outs = _fwd_call(w, xd, tf, jnp.dtype(compute_dtype), num_freqs_x,
+                     num_freqs_d, emit_pe=True, emit_acts=stash)
+    out, pe = outs[0], outs[1]
+    acts = tuple(outs[2:]) if stash else None
+    return out[:, :4], (w, xd, pe, acts)
 
 
-def _fused_bwd(tile, compute_dtype, num_freqs_x, num_freqs_d, res, g4):
-    w, xd, pe = res
+def _fused_bwd(tile, compute_dtype, num_freqs_x, num_freqs_d, bwd_mode, res, g4):
+    w, xd, pe, acts = res
     _, tb = _tile_pair(tile)
     g = jnp.pad(g4, ((0, 0), (0, OUT_CH - 4)))
     dxd, dw = _bwd_call(w, xd, g, pe, tb, jnp.dtype(compute_dtype),
-                        num_freqs_x, num_freqs_d)
+                        num_freqs_x, num_freqs_d, acts=acts)
     return dw, dxd
 
 
@@ -677,6 +769,7 @@ def eval_points_fused(params, mlp_cfg, render_cfg, pts, viewdirs, tile=DEFAULT_T
         compute_dtype=render_cfg.mlp_compute_dtype,
         num_freqs_x=render_cfg.multires,
         num_freqs_d=render_cfg.multires_views,
+        bwd_mode=getattr(render_cfg, "mlp_bwd", "remat"),
     )
     if mesh is not None:
         from jax.sharding import PartitionSpec as PS

@@ -74,6 +74,27 @@ def test_gradient_parity(setup):
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_stash_backward_matches_remat(setup, dtype):
+    """bwd_mode='stash' (no-recompute, activations streamed from the
+    forward) must produce the same gradients as the remat backward —
+    bit-identical in principle (the backward casts activations to the
+    compute dtype before every matmul either way)."""
+    mlp_cfg, _, params, pts, dirs = setup
+    render_cfg = RenderConfig(mlp_compute_dtype=dtype)
+
+    def loss(params, pts, dirs, mode):
+        cfg = RenderConfig(mlp_compute_dtype=dtype, mlp_bwd=mode)
+        raw = fused.eval_points_fused(params, mlp_cfg, cfg, pts, dirs, tile=16)
+        return jnp.sum(jnp.sin(raw) * jnp.arange(4))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_remat = jax.grad(loss, argnums=(0, 1, 2))(params, pts, dirs, "remat")
+        g_stash = jax.grad(loss, argnums=(0, 1, 2))(params, pts, dirs, "stash")
+    for lx, lf in zip(jax.tree.leaves(g_remat), jax.tree.leaves(g_stash)):
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_kernel_parity_and_grads(setup):
     """shard_map-wrapped kernel (8-device CPU mesh, pure interpret mode)
     must match the unsharded kernel exactly — forward AND the psum-ed
