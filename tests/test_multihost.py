@@ -38,6 +38,64 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_four_process_stripes_and_resume(tmp_path):
+    """4 processes x 1 virtual CPU device (VERDICT r4 #7): uneven rematch
+    stripes (9 pairs / 4 hosts => pad branch), the more-hosts-than-pairs
+    degenerate branch (1 pair / 4 hosts), and a mid-CTE resume where only
+    the primary's basedir holds the checkpoint + match tables — the other
+    three processes must receive step/params/tables by broadcast.  All
+    derived quantities must be identical on every process."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    n = 4
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LUSH_MP_DEVS"] = "1"
+    for pid in range(n):
+        out = tmp_path / f"out_{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+                 coordinator, str(n), str(pid), str(out), str(tmp_path),
+                 "stripes"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=REPO,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["process_count"] == 4
+        assert r["global_devices"] == 4
+        assert r["local_devices"] == 1
+        assert r["resumed_step"] == 7
+    r0 = results[0]
+    # train() reports loss/psnr on the primary only (by design)
+    assert np.isfinite(r0["eval_psnr"]) and np.isfinite(r0["loss2"])
+    assert r0["tables_sum"] != 0.0 and r0["degen_sum"] != 0.0
+    for r in results[1:]:
+        # striped rematch + pad + allgather: identical tables everywhere
+        assert r["tables_sum"] == pytest.approx(r0["tables_sum"])
+        # degenerate everyone-computes-full-table branch: identical
+        assert r["degen_sum"] == pytest.approx(r0["degen_sum"])
+        # post-resume training: replicated params stay identical
+        assert r["fingerprint"] == pytest.approx(r0["fingerprint"], rel=1e-6)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_two_process_training(tmp_path, backend):
     """backend='pallas' runs the SHIPPED width-256 fused-kernel graph
