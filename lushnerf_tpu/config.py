@@ -126,6 +126,10 @@ class Config:
     # zero-mean-blur anchor weight (framework addition; 0 = reference
     # behavior — see models/lushnerf.py LushConfig.rbk_anchor_reg)
     rbk_anchor_reg: float = 0.0
+    # L1 blur-spread shrinkage: magnitude-adaptive gate that collapses
+    # sub-pixel (unidentifiable) kernels to identity (framework addition;
+    # 0 = reference — see models/lushnerf.py LushConfig.rbk_spread_l1)
+    rbk_spread_l1: float = 0.0
     # zero-init the r/v head biases so warps start exactly at identity
     # (framework addition; False = reference init — see models/rbk.py)
     rbk_zero_head_bias: bool = False
@@ -347,6 +351,7 @@ class Config:
             near=near,
             far=far,
             rbk_anchor_reg=self.rbk_anchor_reg,
+            rbk_spread_l1=self.rbk_spread_l1,
             rbk_anchor_depth=self.rbk_anchor_depth,
             use_snd=self.use_snd,
             tonemap_eps=self.tonemap_eps,

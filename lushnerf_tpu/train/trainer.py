@@ -378,6 +378,8 @@ class Trainer:
         loss, mse = photometric_loss(out["rgb_blur"], out["rgb0_blur"], batch["rgbs"])
         if stage != "naive" and cfg.rbk_anchor_reg > 0.0:
             loss = loss + cfg.rbk_anchor_reg * out["rbk_drift"]
+        if stage != "naive" and cfg.rbk_spread_l1 > 0.0:
+            loss = loss + cfg.rbk_spread_l1 * out["rbk_spread"]
         return loss, mse
 
     def _loss_fn_consist(self, params, batch, consist, key, stage: str):

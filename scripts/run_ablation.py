@@ -110,6 +110,13 @@ VARIANTS = {
     # RBK + geometry-true CTE with the SND head off: the configuration
     # the component ablation predicts to be optimal on synthetic scenes
     "rbk_cte_gt": ["--matcher", "gt", "--use_snd", "False"],
+    # r5 mild-scene gate (VERDICT r4 #10): L1 blur-spread shrinkage
+    # collapses sub-pixel (unidentifiable) kernels toward identity
+    "rbk_gate": ["--use_snd", "False", "--matcher", "none",
+                 "--noisenerf_start_iter", "1000000000",
+                 "--rbk_spread_l1", "5e-3"],
+    "rbk_cte_gt_gate": ["--matcher", "gt", "--use_snd", "False",
+                        "--rbk_spread_l1", "5e-3"],
 }
 
 MATRIX = [
@@ -139,6 +146,9 @@ MATRIX = [
     ("isp", "rbk_cte_gt"),
     ("isp", "full_gt"),
     ("isp", "rbk_snd_dark"),
+    # r5 mild-scene gate column (VERDICT r4 #10) + heavy no-harm check
+    ("mild", "rbk_gate"),
+    ("heavy", "rbk_cte_gt_gate"),
 ]
 
 
