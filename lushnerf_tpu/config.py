@@ -152,6 +152,9 @@ class Config:
     # which starts the noise head at a constant +0.05 radiance — see
     # models/lushnerf.py LushConfig.snd_bias_init)
     snd_bias_init: float = 0.0
+    # L1 gauge-fixing penalty on the SND noise output (framework
+    # addition; 0 = reference — see models/lushnerf.py LushConfig.snd_l1)
+    snd_l1: float = 0.0
     # global-norm gradient clip (framework addition; 0.0 = reference/off)
     grad_clip_norm: float = 0.0
     # far anchor depth in ray-lengths (see models/lushnerf.py)
@@ -356,4 +359,5 @@ class Config:
             use_snd=self.use_snd,
             tonemap_eps=self.tonemap_eps,
             snd_bias_init=self.snd_bias_init,
+            snd_l1=self.snd_l1,
         )

@@ -96,6 +96,17 @@ class LushConfig:
     # A negative bias b starts the noise at 0.1*sigmoid(b) ~ the actual
     # sensor-noise floor instead (e.g. -3.0 -> 0.0047).
     snd_bias_init: float = 0.0
+    # L1 penalty weight on the SND noise output (framework addition,
+    # 0.0 = reference).  The scene+noise decomposition has a GAUGE mode:
+    # any DC radiance c can move from the scene field into the noise head
+    # with ZERO training-loss change (tonemap(scene + noise) is all the
+    # loss sees), but eval renders the sharp branch only — measured on
+    # the r5 ISP scene, the head absorbed ~0.06 radiance and eval
+    # collapsed 36 -> 19.5 dB.  An L1 on the (nonnegative) noise output
+    # fixes the gauge: noise grows only where it reduces photometric
+    # loss by more than snd_l1 per unit, i.e. where there is actual
+    # per-view noise to explain.
+    snd_l1: float = 0.0
 
     @property
     def mlp_cfg(self) -> MLPConfig:

@@ -380,6 +380,8 @@ class Trainer:
             loss = loss + cfg.rbk_anchor_reg * out["rbk_drift"]
         if stage != "naive" and cfg.rbk_spread_l1 > 0.0:
             loss = loss + cfg.rbk_spread_l1 * out["rbk_spread"]
+        if stage != "naive" and cfg.snd_l1 > 0.0 and cfg.use_snd:
+            loss = loss + cfg.snd_l1 * jnp.mean(out["rgb_noise"])
         return loss, mse
 
     def _loss_fn_consist(self, params, batch, consist, key, stage: str):

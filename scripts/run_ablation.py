@@ -117,6 +117,12 @@ VARIANTS = {
                  "--rbk_spread_l1", "5e-3"],
     "rbk_cte_gt_gate": ["--matcher", "gt", "--use_snd", "False",
                         "--rbk_spread_l1", "5e-3"],
+    # r5 SND gauge fix: L1 on the noise output pins the DC decomposition
+    # (on the isp scene the unpenalized head absorbed ~0.06 radiance of
+    # scene brightness and eval collapsed 36 -> 19.5 dB)
+    "rbk_snd_l1": ["--matcher", "none", "--noisenerf_start_iter", "1000000000",
+                   "--snd_l1", "1e-2"],
+    "full_gt_l1": ["--matcher", "gt", "--snd_l1", "1e-2"],
 }
 
 MATRIX = [
@@ -149,6 +155,9 @@ MATRIX = [
     # r5 mild-scene gate column (VERDICT r4 #10) + heavy no-harm check
     ("mild", "rbk_gate"),
     ("heavy", "rbk_cte_gt_gate"),
+    # r5 SND gauge-fix columns
+    ("isp", "rbk_snd_l1"),
+    ("isp", "full_gt_l1"),
 ]
 
 
