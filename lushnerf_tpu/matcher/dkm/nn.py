@@ -98,6 +98,43 @@ def interpolate_bilinear(x, size):
     return jnp.einsum("oh,nchw,pw->ncop", mh, x, mw)
 
 
+def grid_sample_patch(img, grid):
+    """grid_sample_bilinear via ONE (C, 2, 2) dynamic_slice per output
+    pixel instead of four pointwise gathers — 4x fewer gather indices,
+    and the corner combine happens densely on the sliced patches.
+    Identical zeros-padding semantics via a clamped index into a
+    2-pixel zero pad.  Same signature/result as grid_sample_bilinear."""
+    n, c, h, w = img.shape
+    _, ho, wo, _ = grid.shape
+    gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5
+    gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = (gx - x0)[:, None]  # [N, 1, Ho, Wo]
+    fy = (gy - y0)[:, None]
+    PAD = 2
+    x0c = jnp.clip(x0, -2, w + 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, -2, h + 1).astype(jnp.int32)
+    imgp = jnp.pad(img, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)))
+    sy = (y0c + PAD).reshape(n, ho * wo)
+    sx = (x0c + PAD).reshape(n, ho * wo)
+
+    def slice_one(im, y, x):
+        return jax.lax.dynamic_slice(im, (0, y, x), (c, 2, 2))
+
+    patches = jax.vmap(
+        lambda im, ys, xs: jax.vmap(lambda y, x: slice_one(im, y, x))(ys, xs)
+    )(imgp, sy, sx)  # [N, Ho*Wo, C, 2, 2]
+    p = jnp.transpose(patches, (0, 2, 1, 3, 4)).reshape(n, c, ho, wo, 2, 2)
+    out = (
+        p[..., 0, 0] * (1 - fy) * (1 - fx)
+        + p[..., 0, 1] * (1 - fy) * fx
+        + p[..., 1, 0] * fy * (1 - fx)
+        + p[..., 1, 1] * fy * fx
+    )
+    return out
+
+
 def grid_sample_bilinear(img, grid):
     """F.grid_sample(align_corners=False, padding_mode='zeros') equivalent.
 
@@ -146,11 +183,24 @@ def meshgrid_coords(h, w, dtype=jnp.float32):
     return jnp.stack([gx, gy], axis=-1)
 
 
-def local_correlation(feature0, feature1, local_radius, flow=None):
+def local_correlation(feature0, feature1, local_radius, flow=None,
+                      impl: str = "patch"):
     """(2r+1)^2 windowed correlation (gim/dkm/utils/local_correlation.py).
 
     feature0, feature1: [N, C, H, W]; flow: [N, 2, H, W] or None.
     Returns [N, (2r+1)^2, H, W].
+
+    impl='gather' is the direct formulation: one grid_sample over an
+    [h, w*K] grid = h*w*K*4 pointwise gathers — index-bound on TPU.
+    impl='patch' (default) exploits that the window offsets are EXACT
+    integer pixel steps (linspace spacing 2/h normalized = 1 px under
+    align_corners=False), so every window sample shares ONE fractional
+    part per pixel: fetch a single (C, 2r+2, 2r+2) patch per pixel
+    (dynamic_slice — K*4x fewer indices), correlate the patch with
+    feature0 (MXU/VPU), and form all K window values as four shifted
+    slices of the patch correlation weighted by the shared bilinear
+    weights.  Bit-equal to 'gather' up to f32 summation order
+    (parity-tested).
     """
     b, c, h, w = feature0.shape
     r = local_radius
@@ -158,6 +208,8 @@ def local_correlation(feature0, feature1, local_radius, flow=None):
         coords = jnp.broadcast_to(meshgrid_coords(h, w)[None], (b, h, w, 2))
     else:
         coords = jnp.transpose(flow, (0, 2, 3, 1))
+    if impl == "patch":
+        return _local_correlation_patch(feature0, feature1, r, coords)
     wy = jnp.linspace(-2 * r / h, 2 * r / h, 2 * r + 1)
     wx = jnp.linspace(-2 * r / w, 2 * r / w, 2 * r + 1)
     gy, gx = jnp.meshgrid(wy, wx, indexing="ij")
@@ -169,3 +221,64 @@ def local_correlation(feature0, feature1, local_radius, flow=None):
     window_feature = window_feature.reshape(b, c, h, w, K)
     corr = jnp.einsum("bchw,bchwk->bkhw", feature0, window_feature) / (c**0.5)
     return corr
+
+
+def _local_correlation_patch(feature0, feature1, r, coords):
+    """Patch-slice local correlation (see local_correlation docstring).
+
+    The window grid positions in pixel units are ix(k) = ix0 + k for
+    integer k in [-r, r] (the normalized window spacing is exactly one
+    pixel), so floor/frac are SHARED across the window: with
+    x0 = floor(ix0), every sample is a bilinear mix of integer taps
+    x0 + k and x0 + k + 1.  One (C, 2r+2, 2r+2) patch at (y0-r, x0-r)
+    covers all taps of all K window positions.
+    """
+    b, c, h, w = feature0.shape
+    S = 2 * r + 2
+    # centre sample position in pixel units (grid_sample_bilinear's
+    # align_corners=False mapping).  The window linspace reproduces the
+    # exact same f32 values as the gather path's `coords + window` only
+    # approximately; the difference can flip a floor() when ix0 + k sits
+    # on an integer, where the bilinear weight of the flipped tap is ~0.
+    gx = (coords[..., 0] + 1.0) * w / 2.0 - 0.5  # [b, h, w]
+    gy = (coords[..., 1] + 1.0) * h / 2.0 - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+
+    # clamp far-out positions: anything beyond this range is fully
+    # outside the image for every window tap and must contribute zeros,
+    # which the (2r+3)-wide zero pad provides exactly
+    PAD = 2 * r + 3
+    x0c = jnp.clip(x0, -(r + 2), w + r + 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, -(r + 2), h + r + 1).astype(jnp.int32)
+    f1p = jnp.pad(feature1, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)))
+
+    # one dynamic_slice per pixel: start (y0-r+PAD, x0-r+PAD), size (C,S,S)
+    sy = (y0c - r + PAD).reshape(b, h * w)
+    sx = (x0c - r + PAD).reshape(b, h * w)
+
+    def slice_one(img, y, x):
+        return jax.lax.dynamic_slice(img, (0, y, x), (c, S, S))
+
+    patches = jax.vmap(  # over batch
+        lambda img, ys, xs: jax.vmap(lambda y, x: slice_one(img, y, x))(ys, xs)
+    )(f1p, sy, sx)  # [b, h*w, C, S, S]
+
+    f0 = jnp.transpose(feature0.reshape(b, c, h * w), (0, 2, 1))  # [b, h*w, C]
+    cp = jnp.einsum("bpc,bpcij->bpij", f0, patches)  # [b, h*w, S, S]
+
+    w00 = ((1 - fy) * (1 - fx)).reshape(b, h * w, 1, 1)
+    w01 = ((1 - fy) * fx).reshape(b, h * w, 1, 1)
+    w10 = (fy * (1 - fx)).reshape(b, h * w, 1, 1)
+    w11 = (fy * fx).reshape(b, h * w, 1, 1)
+    D = 2 * r + 1
+    corr = (
+        w00 * cp[:, :, :D, :D]
+        + w01 * cp[:, :, :D, 1:]
+        + w10 * cp[:, :, 1:, :D]
+        + w11 * cp[:, :, 1:, 1:]
+    )  # [b, h*w, D, D]; window k = (dy + r) * D + (dx + r)
+    corr = corr.reshape(b, h, w, D * D)
+    return jnp.transpose(corr, (0, 3, 1, 2)) / (c**0.5)

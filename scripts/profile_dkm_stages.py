@@ -114,6 +114,8 @@ def main():
             jnp.transpose(coords, (2, 0, 1))[None], (1, 2, h, w)
         ) + 0.01 * jnp.asarray(rng.standard_normal((1, 2, h, w)), jnp.float32)
 
+        from lushnerf_tpu.matcher.dkm.nn import grid_sample_patch
+
         t_ref = timed(
             jax.jit(lambda p, a, b_, f: conv_refiner_forward(p, f"decoder.conv_refiner.{scale}", a, b_, f, scale)),
             params, f1s, f2s, flow,
@@ -122,17 +124,26 @@ def main():
             jax.jit(lambda y, f: grid_sample_bilinear(y, jnp.transpose(f, (0, 2, 3, 1)))),
             f2s, flow,
         )
+        t_warp_p = timed(
+            jax.jit(lambda y, f: grid_sample_patch(y, jnp.transpose(f, (0, 2, 3, 1)))),
+            f2s, flow,
+        )
         line = (f"refiner@{scale:>2} [C={c:4d} {h}x{w}]: total {1e3 * t_ref:8.1f} ms"
-                f"  warp {1e3 * t_warp:7.1f} ms")
+                f"  warp {1e3 * t_warp:7.1f} ms  warp_patch {1e3 * t_warp_p:7.1f} ms")
         from lushnerf_tpu.matcher.dkm.blocks import REFINER_CFG
 
         r = REFINER_CFG[scale]
         if r is not None:
             t_corr = timed(
-                jax.jit(lambda a, b_, f: local_correlation(a, b_, r, flow=f)),
+                jax.jit(lambda a, b_, f: local_correlation(a, b_, r, flow=f, impl="gather")),
                 f1s, f2s, flow,
             )
-            line += f"  local_corr(r={r}) {1e3 * t_corr:7.1f} ms"
+            t_corr_p = timed(
+                jax.jit(lambda a, b_, f: local_correlation(a, b_, r, flow=f, impl="patch")),
+                f1s, f2s, flow,
+            )
+            line += (f"  local_corr(r={r}) {1e3 * t_corr:7.1f} ms"
+                     f"  patch {1e3 * t_corr_p:7.1f} ms")
         print(line)
 
 

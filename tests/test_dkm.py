@@ -221,3 +221,47 @@ def test_dkm_match_end_to_end_matches_reference():
     )
     np.testing.assert_allclose(np.asarray(warp), _np(ref_warp), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(cert), _np(ref_cert), rtol=2e-3, atol=2e-3)
+
+
+def test_local_correlation_patch_matches_gather():
+    """The patch-slice local correlation (one dynamic_slice per pixel)
+    must match the direct grid_sample formulation, including pixels whose
+    flow points outside the image (zeros padding semantics)."""
+    import jax.numpy as jnp
+
+    from lushnerf_tpu.matcher.dkm.nn import local_correlation, meshgrid_coords
+
+    rng = np.random.default_rng(0)
+    b, c, h, w = 2, 16, 12, 20
+    f0 = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((b, c, h, w)).astype(np.float32))
+    coords = np.asarray(meshgrid_coords(h, w))
+    # smooth in-bounds flow + a band of far-out-of-bounds flow
+    flow = np.broadcast_to(coords[None], (b, h, w, 2)).copy()
+    flow += 0.12 * rng.standard_normal((b, h, w, 2)).astype(np.float32)
+    flow[:, :2] = 3.5  # fully outside
+    flow[:, 2, :5] = -1.02  # straddling the border
+    flow = jnp.asarray(np.transpose(flow, (0, 3, 1, 2)))
+
+    for r in (1, 2, 3):
+        ref = local_correlation(f0, f1, r, flow=flow, impl="gather")
+        got = local_correlation(f0, f1, r, flow=flow, impl="patch")
+        assert got.shape == ref.shape == (b, (2 * r + 1) ** 2, h, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_grid_sample_patch_matches_gather():
+    import jax.numpy as jnp
+
+    from lushnerf_tpu.matcher.dkm.nn import grid_sample_bilinear, grid_sample_patch
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((2, 7, 9, 13)).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.uniform(-1.4, 1.4, (2, 5, 11, 2))).astype(np.float32)
+    )
+    ref = grid_sample_bilinear(img, grid)
+    got = grid_sample_patch(img, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
