@@ -19,6 +19,9 @@ SCENE_DESC = {
     "mild": "motion blur 4-9 px, 1x noise (the round-3 scene)",
     "heavy": "motion blur 14-22 px, 1x noise",
     "harsh": "motion blur 14-22 px, 4x noise (0-clip biases dark pixels)",
+    "isp": ("ISP-realistic chain (r5): 0.10 exposure, Bayer-correlated "
+            "Poisson shot + clipped read noise at 3x, 8-bit quantization, "
+            "x^0.25 scaleup applied in-generator"),
 }
 VARIANT_DESC = {
     "control": "plain NeRF (no RBK/SND/CTE) — the bar to beat",
@@ -29,6 +32,10 @@ VARIANT_DESC = {
     "rbk_snd_dark": "+ RBK + SND with dark init (snd_bias_init=-3)",
     "full_gt_dark": "full stack, SND dark-init",
     "rbk_cte_gt": "+ RBK + geometry-true CTE, SND off",
+    "rbk_gate": "+ RBK with L1 blur-spread gate (rbk_spread_l1=5e-3, r5)",
+    "rbk_cte_gt_gate": "rbk_cte_gt + L1 blur-spread gate (r5)",
+    "rbk_snd_l1": "+ RBK + SND with L1 gauge fix (snd_l1=1e-2, r5)",
+    "full_gt_l1": "full stack with SND L1 gauge fix (r5)",
 }
 
 
@@ -44,7 +51,7 @@ def read_evals(exp_dir: Path):
     return evals
 
 
-SCHEDULE_TAGS = ("_20k",)
+SCHEDULE_TAGS = ("_20k", "_40k")
 
 
 def _emit_scene_tables(lines, runs, scene, tag):
@@ -111,6 +118,11 @@ def main():
     for scene in scenes:
         lines += [f"## Scene `{scene}` — {SCENE_DESC.get(scene, '')}", ""]
         _emit_scene_tables(lines, runs, scene, tag="")
+        if any(v.endswith("_40k") for (s, v) in runs if s == scene):
+            lines += [f"### `{scene}` at 40k iters, reference-proportional "
+                      "gates (kernel@480, allkernel+consist@24000, "
+                      "rematch@8000) — r5", ""]
+            _emit_scene_tables(lines, runs, scene, tag="_40k")
         if any(v.endswith("_20k") for (s, v) in runs if s == scene):
             lines += [f"### `{scene}` at 20k iters, reference-proportional gates", ""]
             _emit_scene_tables(lines, runs, scene, tag="_20k")
