@@ -181,7 +181,7 @@ def main():
             netdepth=8, netwidth=128, netdepth_fine=8, netwidth_fine=128,
             multires=10, multires_views=4, mlp_backend="pallas",
             mlp_compute_dtype="bfloat16", ray_chunk_eval=256,
-            pallas_tile="4096",
+            pallas_tile="4096", mlp_bwd="stash",  # the flagship backward
         )
         from lushnerf_tpu.ops.fused import nerf_mlp as fused
 
