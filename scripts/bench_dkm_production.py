@@ -15,7 +15,7 @@ single-direction decoder — VERDICT r3 next #4 asked for steady_pair_s
 <= ~0.35 with parity intact; parity is golden-tested in
 tests/test_dkm.py::test_match_many_cached_parity_with_per_pair_match).
 
-Writes DKM_PROD_r04.json at the repo root.
+Writes DKM_PROD_r05.json at the repo root.
 
 Run:  python scripts/bench_dkm_production.py [--hs 640] [--ws 1120]
 """
@@ -138,8 +138,8 @@ def main():
         "projected_rematch_min_per_host_cached": round(total_cached / 60, 1),
         "device": dev.device_kind,
     }
-    (REPO / "DKM_PROD_r04.json").write_text(json.dumps(out, indent=1))
-    print("wrote DKM_PROD_r04.json")
+    (REPO / "DKM_PROD_r05.json").write_text(json.dumps(out, indent=1))
+    print("wrote DKM_PROD_r05.json")
 
 
 if __name__ == "__main__":
