@@ -82,7 +82,7 @@ def main():
     ref_mod = importlib.import_module("gim.dkm.models.model_zoo.DKMv3")
     torch.manual_seed(0)
     model = ref_mod.DKMv3(weights=None, h=hs, w=ws)
-    params = cv.convert_state_dict(model.state_dict())
+    params = cv.from_torch_state_dict(model.state_dict())
     params = jax.device_put(jax.tree.map(jnp.asarray, params))
 
     rng = np.random.default_rng(0)
