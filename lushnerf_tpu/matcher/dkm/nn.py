@@ -118,21 +118,46 @@ def grid_sample_patch(img, grid):
     imgp = jnp.pad(img, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)))
     sy = (y0c + PAD).reshape(n, ho * wo)
     sx = (x0c + PAD).reshape(n, ho * wo)
+    P = ho * wo
+    # chunk the pixel axis so only ~128 MB of patches is live (full-res
+    # production shapes would otherwise materialize multi-GB patch sets)
+    target = 128 * 1024 * 1024
+    CH = max(64, min(8192, int(target // (c * 4 * 4))))
+    P_pad = -(-P // CH) * CH
+    w00 = ((1 - fy) * (1 - fx)).reshape(n, P)
+    w01 = ((1 - fy) * fx).reshape(n, P)
+    w10 = (fy * (1 - fx)).reshape(n, P)
+    w11 = (fy * fx).reshape(n, P)
 
-    def slice_one(im, y, x):
-        return jax.lax.dynamic_slice(im, (0, y, x), (c, 2, 2))
+    def per_image(args):
+        im_i, sy_i, sx_i, ws = args
+        padp = lambda a: jnp.pad(a, [(0, P_pad - P)] + [(0, 0)] * (a.ndim - 1))
+        syp, sxp = padp(sy_i), padp(sx_i)
+        wsp = jnp.pad(ws, ((0, 0), (0, P_pad - P)))
 
-    patches = jax.vmap(
-        lambda im, ys, xs: jax.vmap(lambda y, x: slice_one(im, y, x))(ys, xs)
-    )(imgp, sy, sx)  # [N, Ho*Wo, C, 2, 2]
-    p = jnp.transpose(patches, (0, 2, 1, 3, 4)).reshape(n, c, ho, wo, 2, 2)
-    out = (
-        p[..., 0, 0] * (1 - fy) * (1 - fx)
-        + p[..., 0, 1] * (1 - fy) * fx
-        + p[..., 1, 0] * fy * (1 - fx)
-        + p[..., 1, 1] * fy * fx
-    )
-    return out
+        def chunk_fn(ch):
+            ys, xs, wc = ch
+
+            def slice_one(y, x):
+                return jax.lax.dynamic_slice(im_i, (0, y, x), (c, 2, 2))
+
+            p = jax.vmap(slice_one)(ys, xs)  # [CH, C, 2, 2]
+            return (
+                p[..., 0, 0] * wc[0][:, None]
+                + p[..., 0, 1] * wc[1][:, None]
+                + p[..., 1, 0] * wc[2][:, None]
+                + p[..., 1, 1] * wc[3][:, None]
+            )  # [CH, C]
+
+        out = jax.lax.map(chunk_fn, (
+            syp.reshape(-1, CH), sxp.reshape(-1, CH),
+            wsp.reshape(4, -1, CH).transpose(1, 0, 2),
+        ))
+        return out.reshape(P_pad, c)[:P]
+
+    out = jax.lax.map(per_image, (imgp, sy, sx,
+                                  jnp.stack([w00, w01, w10, w11], axis=1)))
+    return jnp.transpose(out, (0, 2, 1)).reshape(n, c, ho, wo)
 
 
 def grid_sample_bilinear(img, grid):
@@ -258,16 +283,39 @@ def _local_correlation_patch(feature0, feature1, r, coords):
     # one dynamic_slice per pixel: start (y0-r+PAD, x0-r+PAD), size (C,S,S)
     sy = (y0c - r + PAD).reshape(b, h * w)
     sx = (x0c - r + PAD).reshape(b, h * w)
-
-    def slice_one(img, y, x):
-        return jax.lax.dynamic_slice(img, (0, y, x), (c, S, S))
-
-    patches = jax.vmap(  # over batch
-        lambda img, ys, xs: jax.vmap(lambda y, x: slice_one(img, y, x))(ys, xs)
-    )(f1p, sy, sx)  # [b, h*w, C, S, S]
-
     f0 = jnp.transpose(feature0.reshape(b, c, h * w), (0, 2, 1))  # [b, h*w, C]
-    cp = jnp.einsum("bpc,bpcij->bpij", f0, patches)  # [b, h*w, S, S]
+
+    # the patch tensor for ALL pixels would be P*C*S*S floats (23 GB at
+    # the production stride-16 shape) — chunk the pixel axis with lax.map
+    # and reduce each chunk's patches against feature0 immediately, so
+    # only ~128 MB of patches is ever live
+    target = 128 * 1024 * 1024
+    CH = max(64, min(4096, int(target // (c * S * S * 4))))
+    P = h * w
+    P_pad = -(-P // CH) * CH
+
+    def per_image(args):
+        f1p_i, sy_i, sx_i, f0_i = args
+        syp = jnp.pad(sy_i, (0, P_pad - P))
+        sxp = jnp.pad(sx_i, (0, P_pad - P))
+        f0p = jnp.pad(f0_i, ((0, P_pad - P), (0, 0)))
+
+        def chunk_fn(ch):
+            ys, xs, f0c = ch
+
+            def slice_one(y, x):
+                return jax.lax.dynamic_slice(f1p_i, (0, y, x), (c, S, S))
+
+            patches = jax.vmap(slice_one)(ys, xs)  # [CH, C, S, S]
+            return jnp.einsum("pc,pcij->pij", f0c, patches)
+
+        cp = jax.lax.map(chunk_fn, (
+            syp.reshape(-1, CH), sxp.reshape(-1, CH),
+            f0p.reshape(-1, CH, f0p.shape[-1]),
+        ))
+        return cp.reshape(P_pad, S, S)[:P]
+
+    cp = jax.lax.map(per_image, (f1p, sy, sx, f0))  # [b, h*w, S, S]
 
     w00 = ((1 - fy) * (1 - fx)).reshape(b, h * w, 1, 1)
     w01 = ((1 - fy) * fx).reshape(b, h * w, 1, 1)
