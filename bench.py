@@ -323,7 +323,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
         "mfu": round(mfu, 4),
-        "kernel": os.environ.get("LUSH_RENDER_KERNEL", "default"),
+        "mlp_bwd": cfg.mlp_bwd,
         "device": jax.devices()[0].device_kind,
         "n_chips": n_chips,
         "ms_per_step": round(1e3 * sec_per_step, 2),
