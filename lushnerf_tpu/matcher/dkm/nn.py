@@ -209,23 +209,30 @@ def meshgrid_coords(h, w, dtype=jnp.float32):
 
 
 def local_correlation(feature0, feature1, local_radius, flow=None,
-                      impl: str = "patch"):
+                      impl: str = "gather"):
     """(2r+1)^2 windowed correlation (gim/dkm/utils/local_correlation.py).
 
     feature0, feature1: [N, C, H, W]; flow: [N, 2, H, W] or None.
     Returns [N, (2r+1)^2, H, W].
 
-    impl='gather' is the direct formulation: one grid_sample over an
-    [h, w*K] grid = h*w*K*4 pointwise gathers — index-bound on TPU.
-    impl='patch' (default) exploits that the window offsets are EXACT
-    integer pixel steps (linspace spacing 2/h normalized = 1 px under
+    impl='gather' (default) is the direct formulation: one grid_sample
+    over an [h, w*K] grid = h*w*K*4 pointwise gathers.
+    impl='patch' exploits that the window offsets are EXACT integer
+    pixel steps (linspace spacing 2/h normalized = 1 px under
     align_corners=False), so every window sample shares ONE fractional
     part per pixel: fetch a single (C, 2r+2, 2r+2) patch per pixel
     (dynamic_slice — K*4x fewer indices), correlate the patch with
-    feature0 (MXU/VPU), and form all K window values as four shifted
-    slices of the patch correlation weighted by the shared bilinear
-    weights.  Bit-equal to 'gather' up to f32 summation order
-    (parity-tested).
+    feature0, and form all K window values as four shifted slices of the
+    patch correlation weighted by the shared bilinear weights.
+    Bit-equal to 'gather' up to f32 summation order (parity-tested).
+
+    MEASURED on v5e at production shapes (scripts/profile_dkm_stages):
+    XLA's gather lowering is already competitive (local_corr@16 67 ms,
+    @8 59 ms) while the vmap(dynamic_slice)-under-lax.map vehicle used
+    here serializes badly (up to 3.6x slower at stride 8) — so 'gather'
+    stays the default and 'patch' is kept as the algebraic blueprint for
+    a future pallas DMA-gather kernel, which is the vehicle that could
+    actually exploit the index-count reduction.
     """
     b, c, h, w = feature0.shape
     r = local_radius
