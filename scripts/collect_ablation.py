@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Collect the ablation matrix into LONGRUN_r04.md (VERDICT r3 next #1).
+"""Collect the ablation matrix into a tables file.
 
-Run:  python scripts/collect_ablation.py <workdir>
+Run:  python scripts/collect_ablation.py <workdir> [outfile]
+(default outfile LONGRUN_TABLES.md — the per-round LONGRUN_r0N.md
+narratives cite these tables)
 """
 
 from __future__ import annotations
@@ -99,7 +101,7 @@ def main():
 
     scenes = sorted({s for s, _ in runs})
     lines = [
-        "# LONGRUN_r04 — ablation matrix: does the LuSh stack earn its complexity?",
+        "# LONGRUN_TABLES — full ablation matrix (auto-generated; narratives in LONGRUN_r04/r05)",
         "",
         "VERDICT r3's top item: the round-3 long run showed the full stack",
         "LOSING to a blur-model-free NeRF control on the mild-blur scene, with",
@@ -127,68 +129,9 @@ def main():
             lines += [f"### `{scene}` at 20k iters, reference-proportional gates", ""]
             _emit_scene_tables(lines, runs, scene, tag="_20k")
 
-    lines += [
-        "## Findings",
-        "",
-        "1. **The LuSh machinery beats the blur-free control wherever the",
-        "   degradation is heavy.**  RBK alone: heavy 26.47 vs control",
-        "   26.06 final, harsh 25.91 vs 25.39.  RBK + geometry-true CTE",
-        "   (SND off) is the best configuration measured: **heavy 26.64",
-        "   (+0.58 over control), harsh 26.18 (+0.79)** with SSIM +0.04,",
-        "   and the cross-view consistency term adds the most exactly on",
-        "   the noisy harsh scene (it acts as a multi-view denoiser for",
-        "   the sharp branch).  On the mild scene (blur 4-9 px) the",
-        "   control wins narrowly (28.95 vs rbk/rbk_cte_gt 28.63): a blur",
-        "   model costs ~0.3 dB when the blur is ~2 px at eval resolution.",
-        "   This is the reference's central mechanism, demonstrated",
-        "   component-by-component on held-out views.",
-        "1b. A second latent failure mode was root-caused while filling",
-        "   this table: a blur motion whose composite weight collapses",
-        "   receives no gradient and drifts until its warped direction",
-        "   crosses the image plane, where the reference's unguarded NDC",
-        "   division produces ~1e7-scale coordinates (NaN on the bf16",
-        "   pallas path at iter 3088 of mild/rbk_cte_gt, deterministic).",
-        "   `rbk_guard_dz` (shipped) falls degenerate sub-rays back to the",
-        "   original ray; verified finite on the exact saved failing state",
-        "   and the rerun completes 8k iters clean.  See the PARITY.md",
-        "   quirks ledger.",
-        "2. **The round-3 eval decline was the stub matcher's fault** —",
-        "   full_stub reproduces it exactly (27.4 → 25.8 over 4k iters on",
-        "   mild: identity-grid 'correspondences' pull different scene points",
-        "   toward one color), while the same run with geometry-true matches",
-        "   (full_gt) holds 27.4 with NO decline.  With real correspondences",
-        "   CTE is a clear WIN (+0.2 heavy / +0.3 harsh over rbk-only).",
-        "3. **SND is a measured net cost on these synthetic scenes** (-0.4 to",
-        "   -1.0 dB vs rbk-only at 8k; still -0.3 at 20k under reference",
-        "   proportions), and its training path is the one that found the",
-        "   gamma-tonemap gradient pole (NaN at iter ~5.2k on heavy until",
-        "   `tonemap_eps`).  The learned noise converges to ~2e-3 linear —",
-        "   the head is not absorbing signal at convergence; the cost is",
-        "   slowed dark-region convergence (adding noise before the gamma",
-        "   tonemap shrinks dark-pixel gradients).  The paper's SND gains",
-        "   target real sensor noise (demosaic/ISP-correlated, strongly",
-        "   biased); our synthetic shot+read noise is apparently too benign",
-        "   for the head to pay for itself even at 4x amplitude.  A",
-        "   dark-init probe (`snd_bias_init=-3`: noise starts at the",
-        "   sensor floor instead of the reference's constant +0.05) made",
-        "   things WORSE (-0.4 to -0.9 dB vs standard init on heavy/harsh)",
-        "   — the drag is not the init transient; the reference's 0.05",
-        "   floor actually shields dark pixels from the gamma-pole region",
-        "   early in training.  The knob ships default-off (= reference).",
-        "4. **Schedule matters more than components on synthetic scenes**:",
-        "   the early-gate 8k schedule reaches higher PSNR than the",
-        "   reference-proportional 20k schedule for every variant (e.g. rbk",
-        "   26.47@8k-early vs 26.01-peak@20k-ref) — the reference's 60%",
-        "   fq-gating horizon is conservative for scenes this small.",
-        "",
-        "Quality fixes this matrix validated: `rbk_center_bundle` (no gauge",
-        "drift in any run — eval aligned with GT throughout), `tonemap_eps`",
-        "(the only NaN run was the unguarded one), `matcher=gt` (decline",
-        "eliminated).",
-    ]
-
-    (REPO / "LONGRUN_r04.md").write_text("\n".join(lines) + "\n")
-    print("wrote LONGRUN_r04.md")
+    outname = sys.argv[2] if len(sys.argv) > 2 else "LONGRUN_TABLES.md"
+    (REPO / outname).write_text("\n".join(lines) + "\n")
+    print(f"wrote {outname}")
 
 
 if __name__ == "__main__":
