@@ -158,6 +158,7 @@ MATRIX = [
     # r5 SND gauge-fix columns
     ("isp", "rbk_snd_l1"),
     ("isp", "full_gt_l1"),
+    ("isp", "rbk_cte_gt_gate"),
 ]
 
 
