@@ -123,6 +123,10 @@ VARIANTS = {
     "rbk_snd_l1": ["--matcher", "none", "--noisenerf_start_iter", "1000000000",
                    "--snd_l1", "1e-2"],
     "full_gt_l1": ["--matcher", "gt", "--snd_l1", "1e-2"],
+    # gauge fix + dark init: the head starts at the noise floor AND the
+    # gauge direction is priced
+    "full_gt_l1_dark": ["--matcher", "gt", "--snd_l1", "1e-2",
+                        "--snd_bias_init", "-3.0"],
 }
 
 MATRIX = [
@@ -159,6 +163,7 @@ MATRIX = [
     ("isp", "rbk_snd_l1"),
     ("isp", "full_gt_l1"),
     ("isp", "rbk_cte_gt_gate"),
+    ("isp", "full_gt_l1_dark"),
 ]
 
 
