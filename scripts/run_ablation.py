@@ -164,6 +164,7 @@ MATRIX = [
     ("isp", "full_gt_l1"),
     ("isp", "rbk_cte_gt_gate"),
     ("isp", "full_gt_l1_dark"),
+    ("harsh", "full_gt_l1"),
 ]
 
 
